@@ -123,6 +123,9 @@ class Normalizer:
         if self.spec.remove_extra_whitespaces:
             parts = [p for p in s.split(" ") if p]
             s = " ".join(parts)
+        if not s:
+            # empty/whitespace-only input encodes to no pieces (spm behavior)
+            return ""
         if self.spec.add_dummy_prefix:
             s = " " + s
         if self.spec.escape_whitespaces:
