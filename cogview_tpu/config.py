@@ -1,0 +1,110 @@
+"""Model/run configuration dataclasses and released-model presets.
+
+Hyperparameters follow the reference launch scripts (SURVEY.md §2.4):
+released cogview models are 48L x 2560H x 40 heads over a 58240-padded
+vocabulary with 1089 positions (1345 for super-resolution finetunes); the
+tutorial config is 12L/1024H/16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+def pad_vocab_size(n: int, model_parallel: int = 1, multiple: int = 128) -> int:
+    """Pad vocab to a multiple of 128*mp (reference pretrain_gpt2.py:690-698).
+
+    128 also keeps the embedding matmul lane-aligned on the MXU.
+    """
+    m = multiple * model_parallel
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class GPTConfig:
+    num_layers: int
+    hidden_size: int
+    num_heads: int
+    vocab_size: int
+    max_position_embeddings: int = 1089
+    layernorm_epsilon: float = 1e-5
+    embedding_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    output_dropout: float = 0.1
+    sandwich_ln: bool = True  # third/fourth layernorm (Sandwich-LN)
+    # PB-relax LN prescale (reference sparse_transformer.py:40-44); folded
+    # into eps — see ops/layernorm.py.  Keep True for released-checkpoint
+    # faithfulness; False gives the cleaner scale-invariant LN.
+    pb_relax: bool = True
+    init_std: float = 0.02
+    scaled_output_init: bool = True  # N(0, std/sqrt(2L)) for output mats
+    # sparse attention (pivot + window) hyperparameters
+    query_window: int = 128
+    key_window_times: int = 6
+    num_pivot: int = 768
+    # compute precision: params live in fp32; matmuls run in compute_dtype
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        assert self.hidden_size % self.num_heads == 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def mlp_hidden(self) -> int:
+        return 4 * self.hidden_size
+
+    def replace(self, **kw) -> "GPTConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# unified vocab: 8192 image + 50000 text + 27 command = 58219 -> pad 58240
+UNIFIED_VOCAB_RAW = 58219
+
+
+def cogview_base(**kw) -> GPTConfig:
+    """Released cogview-base / -caption / -sr scale (scripts/text2image.sh:9-11)."""
+    cfg = GPTConfig(
+        num_layers=48,
+        hidden_size=2560,
+        num_heads=40,
+        vocab_size=pad_vocab_size(UNIFIED_VOCAB_RAW),
+    )
+    return cfg.replace(**kw) if kw else cfg
+
+
+def cogview_tutorial(**kw) -> GPTConfig:
+    """Tutorial pretraining scale (scripts/pretrain_single_node.sh:26-29)."""
+    cfg = GPTConfig(
+        num_layers=12,
+        hidden_size=1024,
+        num_heads=16,
+        vocab_size=pad_vocab_size(UNIFIED_VOCAB_RAW),
+    )
+    return cfg.replace(**kw) if kw else cfg
+
+
+def cogview_sr(**kw) -> GPTConfig:
+    """Super-resolution finetune: 1345 positions (scripts/super_resolution.sh:8)."""
+    return cogview_base(max_position_embeddings=1345, **kw)
+
+
+def tiny_test(**kw) -> GPTConfig:
+    """Small config for unit tests (divisible by an 8-way model axis)."""
+    cfg = GPTConfig(
+        num_layers=2,
+        hidden_size=64,
+        num_heads=8,
+        vocab_size=128,
+        max_position_embeddings=64,
+        embedding_dropout=0.0,
+        attention_dropout=0.0,
+        output_dropout=0.0,
+        compute_dtype=jnp.float32,
+    )
+    return cfg.replace(**kw) if kw else cfg

@@ -1,0 +1,267 @@
+"""CogView GPT: decoder-only transformer with Sandwich-LayerNorm.
+
+Functional re-design of the reference model (model/gpt2_modeling.py:55 +
+mpu/sparse_transformer.py:237-626) for TPU:
+
+* layers are stacked into [L, ...] arrays and executed with ``lax.scan``
+  (one compiled layer body regardless of depth, ``jax.checkpoint`` for
+  activation rematerialization);
+* tensor parallelism is sharding metadata (see parallel/sharding.py), not
+  code — the qkv/mlp matmuls carry a 'model'-sharded output/input dim and
+  pjit inserts the all-reduces the reference wrote by hand in mpu/;
+* autoregressive decoding uses a true KV cache.  The reference caches
+  layer *inputs* ("mems", sparse_transformer.py:130-141) and re-projects
+  the whole prefix every step; K/V are per-token affine images of LN(h),
+  so caching K/V is mathematically equivalent (exactly so with
+  pb_relax=False; with the PB-relax prescale both the reference's mems
+  path and this cache differ from a monolithic forward only through the
+  per-block eps correction, O(eps/sigma^2)) and removes the O(S)
+  recompute per generated token.
+
+Architecture per layer (sparse_transformer.py:314-341, Sandwich-LN):
+  h  = h + LN3(drop(Wo @ attn(LN1(h))))
+  h  = h + LN4(drop(W2 @ gelu(W1 @ LN2(h))))
+with a final LayerNorm and logits tied to the word embedding.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import GPTConfig
+from ..ops.attention import causal_mask, decode_mask, dense_attention
+from ..ops.precision import dot_precision
+from ..ops.layernorm import layer_norm
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------- #
+# init
+# --------------------------------------------------------------------- #
+
+
+def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
+    H, L, V, P = cfg.hidden_size, cfg.num_layers, cfg.vocab_size, cfg.max_position_embeddings
+    ks = jax.random.split(key, 8)
+    std = cfg.init_std
+    out_std = std / math.sqrt(2.0 * L) if cfg.scaled_output_init else std
+
+    def nrm(k, shape, s):
+        return (s * jax.random.normal(k, shape)).astype(dtype)
+
+    def ln(shape=(L, H)):
+        return {"g": jnp.ones(shape, dtype), "b": jnp.zeros(shape, dtype)}
+
+    params = {
+        "embed": {
+            "word": nrm(ks[0], (V, H), std),
+            "pos": nrm(ks[1], (P, H), std),
+        },
+        "layers": {
+            "ln_in": ln(),
+            "qkv": {"w": nrm(ks[2], (L, H, 3, H), std), "b": jnp.zeros((L, 3, H), dtype)},
+            "attn_out": {"w": nrm(ks[3], (L, H, H), out_std), "b": jnp.zeros((L, H), dtype)},
+            "ln_attn": ln(),
+            "ln_post": ln(),
+            "mlp_in": {"w": nrm(ks[4], (L, H, 4 * H), std), "b": jnp.zeros((L, 4 * H), dtype)},
+            "mlp_out": {"w": nrm(ks[5], (L, 4 * H, H), out_std), "b": jnp.zeros((L, H), dtype)},
+            "ln_mlp": ln(),
+        },
+        "ln_final": {"g": jnp.ones((H,), dtype), "b": jnp.zeros((H,), dtype)},
+    }
+    return params
+
+
+# --------------------------------------------------------------------- #
+# KV cache
+# --------------------------------------------------------------------- #
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, T, N, D]
+    v: jax.Array  # [L, B, T, N, D]
+
+
+def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+    dtype = dtype or cfg.compute_dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# --------------------------------------------------------------------- #
+# core
+# --------------------------------------------------------------------- #
+
+
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return x * keep / (1.0 - rate)
+
+
+def _layer_body(
+    cfg: GPTConfig,
+    h: jax.Array,  # [B, S, H]
+    p: Params,  # one layer's params (leading L stripped)
+    mask: jax.Array,
+    rng: Optional[jax.Array],
+    train: bool,
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # cache slices [B,T,N,D]
+    index: Optional[jax.Array] = None,  # write offset into the cache
+):
+    B, S, H = h.shape
+    N, D = cfg.num_heads, cfg.head_dim
+    eps = cfg.layernorm_epsilon
+    cdt = h.dtype
+
+    if train and rng is not None:
+        r_attn, r_out, r_mlp = jax.random.split(rng, 3)
+    else:
+        r_attn = r_out = r_mlp = None
+
+    ln1 = layer_norm(h, p["ln_in"]["g"], p["ln_in"]["b"], eps, cfg.pb_relax)
+    qkv = (
+        jnp.einsum("bsh,hcj->bscj", ln1, p["qkv"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ln1))
+        + p["qkv"]["b"].astype(jnp.float32)
+    ).astype(cdt)
+    q = qkv[:, :, 0].reshape(B, S, N, D)
+    k = qkv[:, :, 1].reshape(B, S, N, D)
+    v = qkv[:, :, 2].reshape(B, S, N, D)
+
+    new_kv = None
+    if kv is not None:
+        ck, cv = kv
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
+        new_kv = (ck, cv)
+        k, v = ck.astype(cdt), cv.astype(cdt)
+
+    ctx = dense_attention(
+        q, k, v, mask,
+        dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
+    ).reshape(B, S, H)
+
+    attn_out = (
+        jnp.einsum("bsh,hj->bsj", ctx, p["attn_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ctx))
+        + p["attn_out"]["b"].astype(jnp.float32)
+    ).astype(cdt)
+    attn_out = _dropout(attn_out, cfg.output_dropout, r_out, train)
+    if cfg.sandwich_ln:
+        attn_out = layer_norm(attn_out, p["ln_attn"]["g"], p["ln_attn"]["b"], eps, cfg.pb_relax)
+    h = h + attn_out
+
+    ln2 = layer_norm(h, p["ln_post"]["g"], p["ln_post"]["b"], eps, cfg.pb_relax)
+    inter = (
+        jnp.einsum("bsh,hj->bsj", ln2, p["mlp_in"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ln2))
+        + p["mlp_in"]["b"].astype(jnp.float32)
+    ).astype(cdt)
+    inter = jax.nn.gelu(inter, approximate=True)
+    mlp_out = (
+        jnp.einsum("bsj,jh->bsh", inter, p["mlp_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(inter))
+        + p["mlp_out"]["b"].astype(jnp.float32)
+    ).astype(cdt)
+    mlp_out = _dropout(mlp_out, cfg.output_dropout, r_mlp, train)
+    if cfg.sandwich_ln:
+        mlp_out = layer_norm(mlp_out, p["ln_mlp"]["g"], p["ln_mlp"]["b"], eps, cfg.pb_relax)
+    h = h + mlp_out
+    return h, new_kv
+
+
+def _embed(params, cfg, tokens, position_ids, rng, train):
+    cdt = cfg.compute_dtype
+    h = jnp.take(params["embed"]["word"], tokens, axis=0).astype(cdt)
+    h = h + jnp.take(params["embed"]["pos"], position_ids, axis=0).astype(cdt)
+    return _dropout(h, cfg.embedding_dropout, rng, train)
+
+
+def _logits(params, cfg, h):
+    """Tied output projection (gpt2_modeling.py:115-118), fp32 logits."""
+    return jnp.einsum(
+        "bsh,vh->bsv",
+        h,
+        params["embed"]["word"].astype(h.dtype),
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(h),
+    )
+
+
+def forward(
+    params: Params,
+    cfg: GPTConfig,
+    tokens: jax.Array,  # [B, S] int32
+    position_ids: Optional[jax.Array] = None,  # [B, S]
+    attention_mask: Optional[jax.Array] = None,  # [.., Sq, Sk] or None=causal
+    *,
+    sep: int = 0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """Full forward -> fp32 logits [B, S, V]."""
+    B, S = tokens.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    if attention_mask is None:
+        attention_mask = causal_mask(S, sep=sep)
+
+    if rng is not None:
+        rng, r_embed = jax.random.split(rng)
+        layer_rngs = jax.random.split(rng, cfg.num_layers)
+    else:
+        r_embed = None
+        layer_rngs = jnp.zeros((cfg.num_layers, 2), jnp.uint32)
+
+    h = _embed(params, cfg, tokens, position_ids, r_embed, train)
+
+    def body(h, xs):
+        p, r = xs
+        r = r if (train and rng is not None) else None
+        h, _ = _layer_body(cfg, h, p, attention_mask, r, train)
+        return h, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
+
+    h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
+    return _logits(params, cfg, h)
+
+
+def forward_with_cache(
+    params: Params,
+    cfg: GPTConfig,
+    tokens: jax.Array,  # [B, Q]
+    position_ids: jax.Array,  # [B, Q] embedding positions (may restart at ROI2)
+    cache: KVCache,
+    index: jax.Array,  # scalar int32: absolute write offset in the cache
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill (Q = context len) or decode (Q = 1..n) step.
+
+    Attention visibility uses absolute slot positions (index + arange(Q)),
+    independent of ``position_ids`` which only select position embeddings
+    (the super-resolution templates restart them at [ROI2],
+    pretrain_gpt2.py:228-247).
+    Returns fp32 logits [B, Q, V] and the updated cache.
+    """
+    B, Q = tokens.shape
+    T = cache.k.shape[2]
+    h = _embed(params, cfg, tokens, position_ids, None, False)
+
+    q_abs = index + jnp.arange(Q, dtype=jnp.int32)
+    mask = decode_mask(jnp.broadcast_to(q_abs, (B, Q)), T)
+
+    def body(h, xs):
+        p, ck, cv = xs
+        h, new_kv = _layer_body(cfg, h, p, mask, None, False, kv=(ck, cv), index=index)
+        return h, new_kv
+
+    h, (new_k, new_v) = lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
+    return _logits(params, cfg, h), KVCache(new_k, new_v)

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.precision import dot_precision
+
 Params = Dict[str, Any]
 
 # Dataset normalization constants (vqvae_tokenizer.py:81, vqvae/api.py:43).
@@ -122,6 +124,7 @@ def _conv(x, p, stride, pad):
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=dot_precision(x, p["w"]),
     )
     return y + p["b"]
 
@@ -143,6 +146,7 @@ def _conv_transpose(x, p, stride, pad):
         padding=((eff, eff), (eff, eff)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         transpose_kernel=True,
+        precision=dot_precision(x, p["w"]),
     )
     return y + p["b"]
 
@@ -173,7 +177,11 @@ def nearest_code(embed: jax.Array, z: jax.Array) -> jax.Array:
     matching the reference's first-max-of-negative-distance behavior.
     """
     flat = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
-    scores = jnp.dot(flat, embed.astype(jnp.float32), preferred_element_type=jnp.float32)
+    scores = jnp.dot(
+        flat, embed.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(flat),
+    )
     dist = jnp.sum(embed.astype(jnp.float32) ** 2, axis=0)[None, :] - 2.0 * scores
     idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)
     return idx.reshape(z.shape[:-1])

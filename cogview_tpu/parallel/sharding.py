@@ -1,0 +1,72 @@
+"""Sharding rules: what the reference's mpu/ becomes on TPU.
+
+Megatron-style tensor parallelism (mpu/layers.py) is pure metadata here:
+
+  VocabParallelEmbedding      -> word embedding sharded P('model', None)
+  ColumnParallelLinear (qkv)  -> [L,H,3,H] sharded on the last (head) dim
+  RowParallelLinear (out/mlp2)-> sharded on the input (contraction) dim;
+                                 pjit inserts the psum the reference coded
+                                 at mpu/mappings.py:91
+  copy/scatter/gather regions -> implicit at sharding boundaries
+
+Everything 1-D (layernorms, biases of row-parallel layers) is replicated.
+Head-sharding works because the fused qkv last dim is (heads, head_dim)
+flattened with heads contiguous — slicing it across 'model' slices whole
+heads, the same contract as the reference's strided ColumnParallelLinear
+(mpu/layers.py:185-249 with stride=3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def gpt_param_specs(cfg=None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.gpt.init_params layout."""
+    M = MODEL_AXIS
+    ln = {"g": P(None, None), "b": P(None, None)}
+    return {
+        "embed": {
+            "word": P(M, None),  # vocab-parallel (mpu/layers.py:77-133)
+            "pos": P(None, None),
+        },
+        "layers": {
+            "ln_in": dict(ln),
+            "qkv": {"w": P(None, None, None, M), "b": P(None, None, M)},
+            "attn_out": {"w": P(None, M, None), "b": P(None, None)},
+            "ln_attn": dict(ln),
+            "ln_post": dict(ln),
+            "mlp_in": {"w": P(None, None, M), "b": P(None, M)},
+            "mlp_out": {"w": P(None, M, None), "b": P(None, None)},
+            "ln_mlp": dict(ln),
+        },
+        "ln_final": {"g": P(None), "b": P(None)},
+    }
+
+
+def batch_spec() -> P:
+    """Activations/batches shard over 'data' only."""
+    return P(DATA_AXIS)
+
+
+def cache_spec() -> Any:
+    """KV cache [L, B, T, N, D]: batch over 'data', heads over 'model'."""
+    from ..models.gpt import KVCache
+
+    return KVCache(
+        P(None, DATA_AXIS, None, MODEL_AXIS, None),
+        P(None, DATA_AXIS, None, MODEL_AXIS, None),
+    )
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    """Device_put params with NamedShardings (host -> mesh)."""
+    specs = specs if specs is not None else gpt_param_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

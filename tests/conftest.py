@@ -10,12 +10,21 @@ conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force (not setdefault): the driver environment pins JAX_PLATFORMS to the
+# TPU plugin, but the suite must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# Env vars alone are insufficient here: the TPU plugin environment pins
+# JAX_PLATFORMS before pytest starts, and config wins over late env edits.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,178 @@
+"""GPT forward parity and sharding equivalence tests.
+
+Gates (SURVEY.md §7.2 step 2): logits match the reference torch GPT2Model
+to fp32 tolerance; mesh-sharded (mp=4 / dp=2) execution is numerically
+identical to single-device; KV-cached decode equals the full forward.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cogview_tpu.config import tiny_test
+from cogview_tpu.models import gpt
+from cogview_tpu.models.convert import gpt_from_state_dict
+from cogview_tpu.parallel import create_mesh, gpt_param_specs, shard_params
+
+torch = pytest.importorskip("torch")
+
+from oracle_utils import make_reference_gpt  # noqa: E402
+
+CFG = tiny_test(num_heads=4, max_position_embeddings=64)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return make_reference_gpt(
+        num_layers=CFG.num_layers, vocab=CFG.vocab_size,
+        hidden=CFG.hidden_size, heads=CFG.num_heads, max_seq=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(oracle):
+    p = gpt_from_state_dict(oracle.state_dict(), CFG.num_layers, CFG.num_heads)
+    return jax.tree.map(jnp.asarray, p)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    return rng.randint(0, CFG.vocab_size, size=(2, 24)).astype(np.int32)
+
+
+def _oracle_logits(oracle, tokens):
+    B, S = tokens.shape
+    pos = torch.arange(S).unsqueeze(0).expand(B, -1)
+    mask = torch.tril(torch.ones(1, 1, S, S))
+    with torch.no_grad():
+        out = oracle(torch.from_numpy(tokens).long(), pos, mask, None, None, 0)
+    return out[0].numpy()
+
+
+def test_logits_match_reference(oracle, params, batch):
+    ref = _oracle_logits(oracle, batch)
+    got = np.asarray(gpt.forward(params, CFG, jnp.asarray(batch)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_remat_identical(params, batch):
+    a = gpt.forward(params, CFG, jnp.asarray(batch), remat=False)
+    b = gpt.forward(params, CFG, jnp.asarray(batch), remat=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_prefix_lm_sep_mask(oracle, params, batch):
+    """sep>0 gives bidirectional visibility of the first sep positions
+    (build_mask_matrix, sparse_transformer.py:482-489)."""
+    sep = 7
+    B, S = batch.shape
+    pos = torch.arange(S).unsqueeze(0).expand(B, -1)
+    m = torch.ones(1, S, S)
+    m = torch.tril(m)
+    m[0, :, :sep] = 1
+    with torch.no_grad():
+        ref = oracle(torch.from_numpy(batch).long(), pos, m.unsqueeze(1), None, None, 0)[0].numpy()
+    got = np.asarray(gpt.forward(params, CFG, jnp.asarray(batch), sep=sep))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_kv_cache_equals_full_forward(params, batch):
+    """prefill(ctx) + per-token decode == one full forward (fp32).
+
+    Exact equivalence holds with pb_relax=False (per-token LN); the
+    pb-relaxed mode only differs through the per-block eps correction and
+    is covered loosely in test_kv_cache_pb_relax_close."""
+    cfg = CFG.replace(pb_relax=False)
+    tokens = jnp.asarray(batch)
+    B, S = tokens.shape
+    ctx = 10
+    full = gpt.forward(params, cfg, tokens)
+
+    cache = gpt.init_cache(cfg, B, S, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    logits_pre, cache = gpt.forward_with_cache(
+        params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_pre), np.asarray(full[:, :ctx]), atol=1e-4, rtol=1e-4
+    )
+    step_fn = jax.jit(
+        lambda p, tk, ps, c, i: gpt.forward_with_cache(p, cfg, tk, ps, c, i)
+    )
+    for t in range(ctx, S):
+        step_logits, cache = step_fn(
+            params, tokens[:, t : t + 1], pos[:, t : t + 1], cache, jnp.int32(t)
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits[:, 0]), np.asarray(full[:, t]),
+            atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_kv_cache_pb_relax_close(params, batch):
+    """With the faithful PB-relax prescale, cached decode tracks the full
+    forward to the eps-correction level (same deviation the reference's own
+    mems path exhibits)."""
+    tokens = jnp.asarray(batch)
+    B, S = tokens.shape
+    full = gpt.forward(params, CFG, tokens)
+    cache = gpt.init_cache(CFG, B, S, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    logits, cache = gpt.forward_with_cache(
+        params, CFG, tokens[:, :20], pos[:, :20], cache, jnp.int32(0)
+    )
+    step, cache = gpt.forward_with_cache(
+        params, CFG, tokens[:, 20:21], pos[:, 20:21], cache, jnp.int32(20)
+    )
+    probs_full = jax.nn.softmax(full[:, 20])
+    probs_step = jax.nn.softmax(step[:, 0])
+    assert float(jnp.max(jnp.abs(probs_full - probs_step))) < 5e-2
+
+
+def test_block_decode_equals_full(params, batch):
+    """multi-token decode blocks (the magnify/i2t pattern) also match."""
+    cfg = CFG.replace(pb_relax=False)
+    tokens = jnp.asarray(batch)
+    B, S = tokens.shape
+    full = gpt.forward(params, cfg, tokens)
+    cache = gpt.init_cache(cfg, B, S, dtype=jnp.float32)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    splits = [0, 5, 6, 14, S]
+    for a, b in zip(splits[:-1], splits[1:]):
+        logits, cache = gpt.forward_with_cache(
+            params, cfg, tokens[:, a:b], pos[:, a:b], cache, jnp.int32(a)
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, a:b]), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_model_parallel_equivalence(params, batch, eight_devices):
+    """mp=4 x dp=2 sharded forward == unsharded forward."""
+    mesh = create_mesh(model_parallel=4, data_parallel=2)
+    specs = gpt_param_specs()
+    sharded = shard_params(params, mesh, specs)
+    tokens = jax.device_put(
+        jnp.asarray(batch), NamedSharding(mesh, P("data", None))
+    )
+
+    @jax.jit
+    def run(p, t):
+        return gpt.forward(p, CFG, t)
+
+    with jax.set_mesh(mesh):
+        got = np.asarray(run(sharded, tokens))
+    want = np.asarray(gpt.forward(params, CFG, jnp.asarray(batch)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_vocab_padding_helper():
+    from cogview_tpu.config import pad_vocab_size
+
+    assert pad_vocab_size(58219, 1) == 58240  # SURVEY §2.4
+    assert pad_vocab_size(58219, 2) == 58368
+    assert pad_vocab_size(128, 1) == 128
