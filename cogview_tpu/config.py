@@ -94,6 +94,21 @@ def cogview_sr(**kw) -> GPTConfig:
     return cogview_base(max_position_embeddings=1345, **kw)
 
 
+def smoke(**kw) -> GPTConfig:
+    """Tiny dims over the REAL unified vocab: lets the full CLI/tooling run
+    end-to-end without released weights (random init)."""
+    cfg = GPTConfig(
+        num_layers=2,
+        hidden_size=64,
+        num_heads=4,
+        vocab_size=pad_vocab_size(UNIFIED_VOCAB_RAW),
+        embedding_dropout=0.0,
+        attention_dropout=0.0,
+        output_dropout=0.0,
+    )
+    return cfg.replace(**kw) if kw else cfg
+
+
 def tiny_test(**kw) -> GPTConfig:
     """Small config for unit tests (divisible by an 8-way model axis)."""
     cfg = GPTConfig(

@@ -1,0 +1,293 @@
+"""Autoregressive template filling — the TPU rebuild of
+generation/sampling.py:64-186 (``filling_sequence``).
+
+The reference walks the template in Python, re-running the model on the
+whole un-cached prefix every token.  Here the template is *compiled* on the
+host into static per-position arrays — fixed-token mask, vocabulary-mask
+mode, position ids (with the [ROI2] offset rule) — and the whole decode
+runs inside a single jit: prefill over the context, then ``lax.fori_loop``
+steps over a KV cache with per-step token select (fixed vs sampled),
+temperature / invalid-slice masking / top-k / top-p, and per-sample
+log-prob accumulation.
+
+Semantics preserved from the reference:
+  * ``-1`` slots are sampled; non-negative entries are forced
+    (sampling.py:71-73, 130-140);
+  * vocabulary masking switches when the template *contains* [BOI1/2] (only
+    image codes) or [EOI1/2] (only text tokens) at or before the slot
+    (sampling.py:85-96, 119-124); the initial mode forbids image codes;
+  * position ids restart after an [ROI2] marker: ids greater than the
+    marker index are shifted down by it (sampling.py:127, 143-144 — note
+    this differs from the training-side dual-segment rule which assigns 0
+    *at* [ROI2]; we reproduce the sampling behavior);
+  * sampling = multinomial over softmax(top_k/top_p(logits/T + mask));
+  * "beams" are plain batch samples: the reference's interlacing marks
+    (sampling.py:200-211) fork one context into nb multinomial samples,
+    which is exactly a batched decode here.
+
+Vocab-padding rows (ids >= tokenizer.num_tokens) are always masked — the
+reference relies on the trained model never emitting them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..config import GPTConfig
+from ..models import gpt
+
+NEG_INF = -1e9
+
+# vocabulary mask modes (per generated slot)
+MODE_DEFAULT = 0  # text + commands (image codes forbidden)
+MODE_IMAGE = 1  # image codes only
+MODE_TEXT = 2  # text tokens only
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 1.0
+    top_k: int = 200
+    top_p: float = 0.0
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class Template:
+    """Host-compiled generation template (static per-position metadata)."""
+
+    tokens: np.ndarray  # [S] int32, -1 slots zeroed
+    is_fixed: np.ndarray  # [S] bool
+    mask_id: np.ndarray  # [S] int32 in {0,1,2}
+    position_ids: np.ndarray  # [S] int32
+    context_length: int
+    mask_table: np.ndarray  # [3, V] bool  (True = allowed)
+
+    @property
+    def length(self) -> int:
+        return len(self.tokens)
+
+
+def build_mask_table(img_vocab: int, txt_vocab: int, padded_vocab: int) -> np.ndarray:
+    V = padded_vocab
+    n_real = img_vocab + txt_vocab + 27
+    table = np.zeros((3, V), dtype=bool)
+    table[MODE_DEFAULT, img_vocab:n_real] = True
+    table[MODE_IMAGE, :img_vocab] = True
+    table[MODE_TEXT, img_vocab : img_vocab + txt_vocab] = True
+    return table
+
+
+def compile_template(
+    seq: Sequence[int],
+    tokenizer,
+    padded_vocab: int,
+    pad_to: Optional[int] = None,
+) -> Template:
+    """seq: ids with -1 generation slots (output of parse_query).
+
+    ``pad_to`` appends fixed [PAD] steps so a handful of bucketed lengths
+    cover all queries (one XLA compile per bucket, not per text length).
+    """
+    seq = list(int(x) for x in seq)
+    boi = {tokenizer["[BOI1]"], tokenizer["[BOI2]"]}
+    eoi = {tokenizer["[EOI1]"], tokenizer["[EOI2]"]}
+    roi2 = tokenizer["[ROI2]"]
+    pad_id = tokenizer["[PAD]"]
+
+    if pad_to is not None and pad_to > len(seq):
+        seq = seq + [pad_id] * (pad_to - len(seq))
+
+    S = len(seq)
+    tokens = np.zeros(S, np.int32)
+    is_fixed = np.zeros(S, bool)
+    mask_id = np.zeros(S, np.int32)
+    mode = MODE_DEFAULT
+    offset = None
+    context_length = 0
+    seen_gen = False
+    for t, x in enumerate(seq):
+        if x >= 0:
+            # mode switches triggered by the fixed token itself
+            # (sampling.py:85-96 pre-context scan and :119-124 in-loop)
+            if x in boi:
+                mode = MODE_IMAGE
+            elif x in eoi:
+                mode = MODE_TEXT
+            if x == roi2 and offset is None:
+                offset = t
+            tokens[t] = x
+            is_fixed[t] = True
+        else:
+            seen_gen = True
+        if not seen_gen:
+            context_length = t + 1
+        mask_id[t] = mode
+
+    position_ids = np.arange(S, dtype=np.int32)
+    if offset is not None and offset > 0:
+        position_ids = np.where(
+            position_ids > offset, position_ids - offset, position_ids
+        ).astype(np.int32)
+
+    table = build_mask_table(
+        tokenizer.img_tokenizer.num_tokens, tokenizer.txt_tokenizer.num_tokens,
+        padded_vocab,
+    )
+    return Template(tokens, is_fixed, mask_id, position_ids, context_length, table)
+
+
+# --------------------------------------------------------------------- #
+# logit filtering
+# --------------------------------------------------------------------- #
+
+
+def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
+    """Keep the k largest logits per row (reference top_k_logits,
+    sampling.py:28-31)."""
+    if k <= 0:
+        return logits
+    k = min(k, logits.shape[-1])
+    kth = lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
+    """Nucleus filtering, batched (the reference's top_p only supported
+    batch 1, sampling.py:33-47)."""
+    if p <= 0.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep also the first token crossing the threshold
+    cutoff_mask = cum - probs > p
+    cutoff_logit = jnp.min(
+        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
+    )
+    return jnp.where(logits < cutoff_logit, NEG_INF, logits)
+
+
+# --------------------------------------------------------------------- #
+# the filling loop
+# --------------------------------------------------------------------- #
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_size", "context_length", "temperature", "top_k", "top_p"),
+    donate_argnames=(),
+)
+def _filling_sequence_jit(
+    params,
+    cfg: GPTConfig,
+    tokens_tpl: jax.Array,  # [S]
+    is_fixed: jax.Array,  # [S]
+    mask_id: jax.Array,  # [S]
+    position_ids: jax.Array,  # [S]
+    mask_table: jax.Array,  # [3, V] bool
+    rng: jax.Array,
+    batch_size: int,
+    context_length: int,
+    temperature: float,
+    top_k: int,
+    top_p: float,
+):
+    S = tokens_tpl.shape[0]
+    B = batch_size
+    V = mask_table.shape[1]
+    ctx = context_length
+
+    cache = gpt.init_cache(cfg, B, S, dtype=cfg.compute_dtype)
+    tokens = jnp.broadcast_to(tokens_tpl, (B, S)).astype(jnp.int32)
+    pos = jnp.broadcast_to(position_ids, (B, S)).astype(jnp.int32)
+
+    # prefill the fixed context; last logits seed the first generated slot
+    logits_ctx, cache = gpt.forward_with_cache(
+        params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0)
+    )
+    last_logits = logits_ctx[:, -1]  # [B, V]
+
+    def step(t, state):
+        tokens, cache, last_logits, scores, rng = state
+        fixed = is_fixed[t]
+        tpl_tok = tokens_tpl[t]
+
+        filtered = last_logits / temperature
+        allowed = mask_table[mask_id[t]]
+        filtered = jnp.where(allowed[None, :], filtered, NEG_INF)
+        filtered = apply_top_k(filtered, top_k)
+        filtered = apply_top_p(filtered, top_p)
+
+        step_rng = jax.random.fold_in(rng, t)
+        sampled = jax.random.categorical(step_rng, filtered, axis=-1).astype(jnp.int32)
+        log_probs = jax.nn.log_softmax(filtered, axis=-1)
+        samp_score = jnp.take_along_axis(
+            log_probs, sampled[:, None], axis=-1
+        )[:, 0]
+
+        tok_t = jnp.where(fixed, tpl_tok, sampled)  # [B] (tpl_tok broadcasts)
+        tok_t = jnp.broadcast_to(tok_t, (B,)).astype(jnp.int32)
+        scores = scores + jnp.where(fixed, 0.0, samp_score)
+        tokens = lax.dynamic_update_slice(tokens, tok_t[:, None], (0, t))
+
+        step_logits, cache = gpt.forward_with_cache(
+            params, cfg, tok_t[:, None],
+            lax.dynamic_slice(pos, (0, t), (B, 1)),
+            cache, t,
+        )
+        return tokens, cache, step_logits[:, 0], scores, rng
+
+    scores = jnp.zeros((B,), jnp.float32)
+    state = (tokens, cache, last_logits, scores, rng)
+    tokens, cache, last_logits, scores, rng = lax.fori_loop(ctx, S, step, state)
+    return tokens, scores
+
+
+def filling_sequence(
+    params,
+    cfg: GPTConfig,
+    template: Template,
+    batch_size: int = 1,
+    sampling: SamplingParams = SamplingParams(),
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fill a compiled template -> (tokens [B, S], scores [B]).
+
+    scores = sum of log-probs of the sampled (non-fixed) tokens, the same
+    quantity the reference accumulates for beam bookkeeping
+    (sampling.py:172-178).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(sampling.seed)
+    max_pos = int(template.position_ids.max())
+    if max_pos >= cfg.max_position_embeddings:
+        # the reference rejects over-long contexts up front
+        # (generate_samples.py:98-101); past the table jnp.take would
+        # silently fill NaN.
+        raise ValueError(
+            f"template needs position {max_pos} but the model has only "
+            f"{cfg.max_position_embeddings} position embeddings"
+        )
+    return _filling_sequence_jit(
+        params,
+        cfg,
+        jnp.asarray(template.tokens),
+        jnp.asarray(template.is_fixed),
+        jnp.asarray(template.mask_id),
+        jnp.asarray(template.position_ids),
+        jnp.asarray(template.mask_table),
+        rng,
+        batch_size,
+        int(template.context_length),
+        float(sampling.temperature),
+        int(sampling.top_k),
+        float(sampling.top_p),
+    )
