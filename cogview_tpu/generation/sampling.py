@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,7 @@ from jax import lax
 
 from ..config import GPTConfig
 from ..models import gpt
+from ..utils.rng import rbg_key
 
 NEG_INF = -1e9
 
@@ -149,30 +150,62 @@ def compile_template(
 # --------------------------------------------------------------------- #
 
 
+_BISECT_ITERS = 26  # fp32 logit ranges resolve in < 2^-26 of the span
+
+
+def _bisect_threshold(logits: jax.Array, keep_ge: Any) -> jax.Array:
+    """Find per-row tau maximizing tau s.t. keep_ge(logits, tau) is True,
+    where keep_ge is monotone decreasing in tau.  Returns [..., 1].
+
+    Sort-free: lax.top_k/jnp.sort over a 58k vocab inside a decode loop is
+    pathologically slow on TPU (a full sort per token); 26 vectorized
+    compare+reduce passes are microseconds and fuse into the loop body.
+    """
+    lo = jnp.min(logits, axis=-1, keepdims=True)
+    hi = jnp.max(logits, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ok = keep_ge(logits, mid)
+        lo = jnp.where(ok, mid, lo)
+        hi = jnp.where(ok, hi, mid)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+    return lo
+
+
 def apply_top_k(logits: jax.Array, k: int) -> jax.Array:
     """Keep the k largest logits per row (reference top_k_logits,
-    sampling.py:28-31)."""
-    if k <= 0:
+    sampling.py:28-31), via threshold bisection."""
+    if k <= 0 or k >= logits.shape[-1]:
         return logits
-    k = min(k, logits.shape[-1])
-    kth = lax.top_k(logits, k)[0][..., -1:]
-    return jnp.where(logits < kth, NEG_INF, logits)
+
+    def keep_ge(lg, tau):
+        return jnp.sum((lg >= tau).astype(jnp.int32), axis=-1, keepdims=True) >= k
+
+    tau = _bisect_threshold(logits, keep_ge)
+    return jnp.where(logits < tau, NEG_INF, logits)
 
 
 def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
     """Nucleus filtering, batched (the reference's top_p only supported
-    batch 1, sampling.py:33-47)."""
+    batch 1, sampling.py:33-47): keep the smallest set of highest-prob
+    tokens whose cumulative probability reaches p (the crossing token is
+    kept).  Threshold bisection on the softmax mass above tau."""
     if p <= 0.0:
         return logits
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep also the first token crossing the threshold
-    cutoff_mask = cum - probs > p
-    cutoff_logit = jnp.min(
-        jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True
-    )
-    return jnp.where(logits < cutoff_logit, NEG_INF, logits)
+    z = logits - jnp.max(logits, axis=-1, keepdims=True)
+    ez = jnp.exp(z)
+    total = jnp.sum(ez, axis=-1, keepdims=True)
+
+    def keep_ge(lg, tau):
+        mass = jnp.sum(jnp.where(z >= tau, ez, 0.0), axis=-1, keepdims=True)
+        return mass >= p * total
+
+    tau = _bisect_threshold(z, keep_ge)
+    return jnp.where(z < tau, NEG_INF, logits)
 
 
 # --------------------------------------------------------------------- #
@@ -265,8 +298,7 @@ def filling_sequence(
     quantity the reference accumulates for beam bookkeeping
     (sampling.py:172-178).
     """
-    if rng is None:
-        rng = jax.random.PRNGKey(sampling.seed)
+    rng = rbg_key(sampling.seed if rng is None else rng)
     max_pos = int(template.position_ids.max())
     if max_pos >= cfg.max_position_embeddings:
         # the reference rejects over-long contexts up front

@@ -53,7 +53,9 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
     out_std = std / math.sqrt(2.0 * L) if cfg.scaled_output_init else std
 
     def nrm(k, shape, s):
-        return (s * jax.random.normal(k, shape)).astype(dtype)
+        # generate directly in the target dtype: at 4B params the fp32
+        # transients of a generate-then-cast would double peak HBM
+        return jnp.asarray(s, dtype) * jax.random.normal(k, shape, dtype)
 
     def ln(shape=(L, H)):
         return {"g": jnp.ones(shape, dtype), "b": jnp.zeros(shape, dtype)}
@@ -84,13 +86,21 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # [L, B, T, N, D]
-    v: jax.Array  # [L, B, T, N, D]
+    """K/V stored flat over the hidden dim: [L, B, T, H].
+
+    H (a multiple of 128) must be the trailing dim — a [.., N, D] layout
+    with D=64 pads to 128 lanes and doubles the cache's HBM footprint
+    (measured: 1020MB -> 1.99GB at cogview-base scale).  The heads split is
+    a free bitcast inside the attention fusion.
+    """
+
+    k: jax.Array  # [L, B, T, H]
+    v: jax.Array  # [L, B, T, H]
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None) -> KVCache:
     dtype = dtype or cfg.compute_dtype
-    shape = (cfg.num_layers, batch, max_len, cfg.num_heads, cfg.head_dim)
+    shape = (cfg.num_layers, batch, max_len, cfg.hidden_size)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -113,8 +123,9 @@ def _layer_body(
     mask: jax.Array,
     rng: Optional[jax.Array],
     train: bool,
-    kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # cache slices [B,T,N,D]
+    kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # FULL caches [L,B,T,H]
     index: Optional[jax.Array] = None,  # write offset into the cache
+    layer_idx: Optional[jax.Array] = None,  # which cache layer to touch
 ):
     B, S, H = h.shape
     N, D = cfg.num_heads, cfg.head_dim
@@ -137,11 +148,24 @@ def _layer_body(
 
     new_kv = None
     if kv is not None:
+        # The full [L,B,T,H] caches thread through the layer scan as a
+        # carry: one in-place dynamic_update_slice per layer, no xs->ys
+        # whole-cache copies (those cost 2x the cache in HBM per step).
         ck, cv = kv
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, index, 0, 0))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, index, 0, 0))
+        T = ck.shape[2]
+        ck = lax.dynamic_update_slice(
+            ck, qkv[:, :, 1].astype(ck.dtype)[None], (layer_idx, 0, index, 0)
+        )
+        cv = lax.dynamic_update_slice(
+            cv, qkv[:, :, 2].astype(cv.dtype)[None], (layer_idx, 0, index, 0)
+        )
         new_kv = (ck, cv)
-        k, v = ck.astype(cdt), cv.astype(cdt)
+        k = lax.dynamic_slice(
+            ck, (layer_idx, 0, 0, 0), (1, B, T, H)
+        )[0].astype(cdt).reshape(B, T, N, D)
+        v = lax.dynamic_slice(
+            cv, (layer_idx, 0, 0, 0), (1, B, T, H)
+        )[0].astype(cdt).reshape(B, T, N, D)
 
     ctx = dense_attention(
         q, k, v, mask,
@@ -257,11 +281,15 @@ def forward_with_cache(
     q_abs = index + jnp.arange(Q, dtype=jnp.int32)
     mask = decode_mask(jnp.broadcast_to(q_abs, (B, Q)), T)
 
-    def body(h, xs):
-        p, ck, cv = xs
-        h, new_kv = _layer_body(cfg, h, p, mask, None, False, kv=(ck, cv), index=index)
-        return h, new_kv
+    def body(carry, p):
+        h, ck, cv, li = carry
+        h, (ck, cv) = _layer_body(
+            cfg, h, p, mask, None, False, kv=(ck, cv), index=index, layer_idx=li
+        )
+        return (h, ck, cv, li + 1), None
 
-    h, (new_k, new_v) = lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    (h, new_k, new_v, _), _ = lax.scan(
+        body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
+    )
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
     return _logits(params, cfg, h), KVCache(new_k, new_v)

@@ -1,0 +1,67 @@
+"""LM loss with the reference's split image/text bookkeeping.
+
+forward_step semantics (pretrain_gpt2.py:292-341): the sample is
+``text [B, S+1]`` + ``loss_mask [B, S+1]``; inputs are text[:, :-1] and
+labels text[:, 1:]; a position is a *text* position when its input token
+id >= img_vocab and its mask is on; text positions' loss-mask entries are
+multiplied by ``txt_loss_scale``; total loss = masked mean; img/txt means
+are reported separately (txt unscaled back).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GPTConfig
+from ..models import gpt
+
+
+def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """fp32 softmax-CE per position.  Under a 'model'-sharded vocab this is
+    the pjit analog of mpu.vocab_parallel_cross_entropy — the max/sum
+    reductions lower to all-reduces over the model axis automatically."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    return lse - picked
+
+
+def lm_loss(
+    params,
+    cfg: GPTConfig,
+    batch: Dict[str, jax.Array],  # text [B,S+1] int32, loss_mask [B,S+1]
+    *,
+    img_vocab: int = 8192,
+    txt_loss_scale: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+    remat: bool = True,
+    position_ids: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    text = batch["text"].astype(jnp.int32)
+    mask = batch["loss_mask"].astype(jnp.float32)
+    tokens = text[:, :-1]
+    labels = text[:, 1:]
+    lmask = mask[:, 1:]
+
+    img_ind = tokens < img_vocab
+    txt_ind = (~img_ind) & (lmask > 0)
+    lmask = jnp.where(txt_ind, lmask * txt_loss_scale, lmask)
+
+    logits = gpt.forward(
+        params, cfg, tokens, position_ids=position_ids, train=train, rng=rng,
+        remat=remat,
+    )
+    ce = cross_entropy_logits(logits, labels)
+    losses = ce * lmask
+
+    denom = jnp.maximum(jnp.sum(lmask), 1.0)
+    loss = jnp.sum(losses) / denom
+    img_loss = jnp.sum(losses * img_ind) / jnp.maximum(jnp.sum(img_ind), 1.0)
+    txt_loss = (
+        jnp.sum(losses * txt_ind) / jnp.maximum(jnp.sum(txt_ind), 1.0)
+    ) / txt_loss_scale
+    return loss, {"lm_loss": loss, "img_loss": img_loss, "txt_loss": txt_loss}
