@@ -1,0 +1,290 @@
+"""Pretraining CLI — the reference ``pretrain_gpt2.py`` driver rebuilt.
+
+One SPMD program: build the mesh, shard params/optimizer state, iterate
+global batches, jitted train_step with NaN-skip, periodic eval (loss +
+PPL), orbax checkpoints with the tracker-file protocol, per-interval
+metrics (lr, lm/img/txt losses, elapsed ms/iter), dataset hot-reload
+polling, --resume-dataloader fast-forward.
+
+Example (tiny synthetic run):
+  python -m cogview_tpu.cli.pretrain --preset smoke --train-data data/x.bin \
+      --train-iters 100 --batch-size 8 --save ckpts/run1
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..config import GPTConfig
+from ..data.loader import DataConfig, detect_new_datasets, make_loaders
+from ..data.position_ids import dual_segment_position_ids
+from ..training import checkpointing
+from ..training.optim import make_optimizer
+from ..training.train_loop import init_train_state, make_train_step
+from ..utils.metrics import MetricsWriter
+from ..utils.timers import Timers
+
+
+def build_parser():
+    p = argparse.ArgumentParser("cogview-tpu pretrain")
+    m = p.add_argument_group("model")
+    m.add_argument("--preset", default="tutorial",
+                   choices=["cogview-base", "cogview-sr", "tutorial", "smoke", "tiny"])
+    m.add_argument("--num-layers", type=int, default=None)
+    m.add_argument("--hidden-size", type=int, default=None)
+    m.add_argument("--num-attention-heads", type=int, default=None)
+    m.add_argument("--max-position-embeddings", type=int, default=None)
+    m.add_argument("--checkpoint-activations", action="store_true", default=True)
+    m.add_argument("--finetune", action="store_true",
+                   help="reset iteration/optimizer on load; enable dual-segment "
+                        "position ids when the SR preset extends positions")
+
+    t = p.add_argument_group("train")
+    t.add_argument("--batch-size", type=int, default=4, help="GLOBAL batch")
+    t.add_argument("--train-iters", type=int, default=1000)
+    t.add_argument("--lr", type=float, default=4e-4)
+    t.add_argument("--lr-decay-style", default="cosine",
+                   choices=["constant", "linear", "cosine", "exponential"])
+    t.add_argument("--lr-decay-ratio", type=float, default=0.5)
+    t.add_argument("--warmup", type=float, default=0.01,
+                   help="fraction of train-iters for linear warmup")
+    t.add_argument("--weight-decay", type=float, default=1e-2)
+    t.add_argument("--clip-grad", type=float, default=1.0)
+    t.add_argument("--txt-loss-scale", type=float, default=1.0)
+    t.add_argument("--seed", type=int, default=1234)
+    t.add_argument("--model-parallel-size", type=int, default=1)
+
+    d = p.add_argument_group("data")
+    d.add_argument("--train-data", nargs="+", default=None)
+    d.add_argument("--dataset-type", default="CompactBinaryDataset",
+                   choices=["TokenizedDataset", "TextCodeDataset", "CompactBinaryDataset"])
+    d.add_argument("--split", default="0.95,0.04,0.01")
+    d.add_argument("--resume-dataloader", action="store_true")
+    d.add_argument("--img-tokenizer-num-tokens", type=int, default=8192)
+    d.add_argument("--text-model-path", default=None)
+
+    io = p.add_argument_group("io")
+    io.add_argument("--save", default=None)
+    io.add_argument("--load", default=None)
+    io.add_argument("--save-interval", type=int, default=5000)
+    io.add_argument("--eval-interval", type=int, default=1000)
+    io.add_argument("--eval-iters", type=int, default=10)
+    io.add_argument("--log-interval", type=int, default=100)
+    io.add_argument("--summary-dir", default=None)
+    io.add_argument("--experiment-name", default="cogview-tpu")
+    io.add_argument("--exit-interval", type=int, default=None)
+    return p
+
+
+def get_config(args) -> GPTConfig:
+    from .. import config as C
+
+    cfg = {
+        "cogview-base": C.cogview_base, "cogview-sr": C.cogview_sr,
+        "tutorial": C.cogview_tutorial, "smoke": C.smoke, "tiny": C.tiny_test,
+    }[args.preset]()
+    over = {}
+    if args.num_layers:
+        over["num_layers"] = args.num_layers
+    if args.hidden_size:
+        over["hidden_size"] = args.hidden_size
+    if args.num_attention_heads:
+        over["num_heads"] = args.num_attention_heads
+    if args.max_position_embeddings:
+        over["max_position_embeddings"] = args.max_position_embeddings
+    return cfg.replace(**over) if over else cfg
+
+
+def build_tokenizer(args):
+    from ..tokenization import FakeImageTokenizer, UnifiedTokenizer
+
+    # pretraining needs only the vocab layout (reference FakeTokenizer path)
+    return UnifiedTokenizer(
+        img_tokenizer=FakeImageTokenizer(args.img_tokenizer_num_tokens),
+        text_model_path=args.text_model_path,
+    )
+
+
+def evaluate(step_loss_fn, state, val_iter, eval_iters):
+    losses = []
+    it = iter(val_iter)
+    for _ in range(eval_iters):
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+        losses.append(float(step_loss_fn(state["params"], batch)))
+    if not losses:
+        return None
+    loss = float(np.mean(losses))
+    ppl = math.exp(min(20.0, loss))
+    return {"val_loss": loss, "val_ppl": ppl}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models import gpt
+    from ..parallel import create_mesh, gpt_param_specs, shard_params
+    from ..training.losses import lm_loss
+
+    cfg = get_config(args)
+    tokenizer = build_tokenizer(args)
+    timers = Timers()
+    writer = MetricsWriter(args.summary_dir, args.experiment_name)
+
+    n_dev = len(jax.devices())
+    mp = min(args.model_parallel_size, n_dev)
+    mesh = create_mesh(model_parallel=mp, data_parallel=n_dev // mp)
+    print(f"mesh: data={n_dev // mp} x model={mp}; config {args.preset} "
+          f"({cfg.num_layers}L/{cfg.hidden_size}H/{cfg.num_heads}h, vocab {cfg.vocab_size})")
+
+    data_cfg = DataConfig(
+        train_data=args.train_data or (),
+        dataset_type=args.dataset_type,
+        split=tuple(float(x) for x in args.split.split(",")),
+        batch_size=args.batch_size,
+        max_len=cfg.max_position_embeddings,
+        seed=args.seed,
+    )
+    train_it, val_it, _ = make_loaders(data_cfg, tokenizer)
+    assert train_it is not None, "no training data"
+
+    tx, schedule = make_optimizer(
+        gpt.init_params(jax.random.PRNGKey(args.seed), cfg),
+        lr=args.lr,
+        warmup_iter=max(1, int(args.warmup * args.train_iters)),
+        num_iters=args.train_iters,
+        decay_style=args.lr_decay_style,
+        decay_ratio=args.lr_decay_ratio,
+        weight_decay=args.weight_decay,
+        grad_clip=args.clip_grad,
+    )
+
+    with jax.set_mesh(mesh):
+        params = gpt.init_params(jax.random.PRNGKey(args.seed), cfg)
+        params = shard_params(params, mesh, gpt_param_specs())
+        state = init_train_state(params, tx)
+        iteration = 0
+
+        if args.load:
+            target = {
+                "params": jax.tree.map(np.asarray, state["params"]),
+                "opt_state": jax.tree.map(np.asarray, state["opt_state"]),
+                "iteration": 0,
+            }
+            loaded = checkpointing.load_latest(args.load, target=target)
+            if loaded is not None:
+                state["params"] = jax.tree.map(jnp.asarray, loaded["params"])
+                if not args.finetune and "opt_state" in loaded:
+                    state["opt_state"] = jax.tree.map(jnp.asarray, loaded["opt_state"])
+                    iteration = int(loaded.get("iteration", 0))
+                print(f"loaded checkpoint from {args.load} at iteration {iteration}")
+        if args.resume_dataloader and iteration > 0:
+            train_it.fast_forward(iteration)
+
+        step = make_train_step(
+            cfg, tx,
+            img_vocab=tokenizer.img_tokenizer.num_tokens,
+            txt_loss_scale=args.txt_loss_scale,
+            remat=args.checkpoint_activations,
+        )
+        eval_loss = jax.jit(
+            lambda p, b: lm_loss(
+                p, cfg, b, img_vocab=tokenizer.img_tokenizer.num_tokens,
+                txt_loss_scale=args.txt_loss_scale, train=False, remat=False,
+            )[0]
+        )
+
+        def put(batch):
+            return {
+                k: jax.device_put(v, NamedSharding(mesh, P("data")))
+                for k, v in batch.items()
+            }
+
+        known_paths = set(args.train_data or ())
+        data_iter = iter(train_it)
+        log_loss, log_img, log_txt, t_last = 0.0, 0.0, 0.0, time.time()
+        rng = jax.random.PRNGKey(args.seed + 1)
+
+        while iteration < args.train_iters:
+            if iteration % 100 == 0 and iteration > 0:
+                new_it, known_paths = detect_new_datasets(data_cfg, tokenizer, known_paths)
+                if new_it is not None:
+                    print(f"detected new datasets ({len(known_paths)} paths)")
+                    train_it = new_it
+                    data_iter = iter(train_it)
+
+            timers("data loader").start()
+            batch = put(next(data_iter))
+            timers("data loader").stop()
+
+            timers("train step").start()
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, batch, sub)
+            timers("train step").stop()
+
+            iteration += 1
+            log_loss += float(metrics["lm_loss"])
+            log_img += float(metrics["img_loss"])
+            log_txt += float(metrics["txt_loss"])
+
+            if iteration % args.log_interval == 0:
+                n = args.log_interval
+                elapsed = (time.time() - t_last) * 1000.0 / n
+                lr_now = float(schedule(iteration))
+                print(
+                    f" iteration {iteration:8d}/{args.train_iters} | "
+                    f"elapsed ms/iter {elapsed:.1f} | lr {lr_now:.3E} | "
+                    f"lm loss {log_loss / n:.6f} | img loss {log_img / n:.6f} | "
+                    f"unscaled txt loss {log_txt / n:.6f} | "
+                    f"skipped {int(state['skipped'])}",
+                    flush=True,
+                )
+                writer.add_scalars(iteration, {
+                    "lr": lr_now, "train_loss": log_loss / n,
+                    "img_loss": log_img / n, "txt_loss": log_txt / n,
+                    "elapsed_ms": elapsed,
+                })
+                log_loss = log_img = log_txt = 0.0
+                t_last = time.time()
+
+            if args.save and iteration % args.save_interval == 0:
+                host_state = jax.tree.map(np.asarray, {
+                    "params": state["params"], "opt_state": state["opt_state"],
+                    "iteration": iteration,
+                })
+                checkpointing.save_checkpoint(args.save, iteration, host_state)
+                print(f"saved checkpoint at iteration {iteration}")
+
+            if val_it is not None and iteration % args.eval_interval == 0:
+                ev = evaluate(eval_loss, state, val_it, args.eval_iters)
+                if ev:
+                    print(f" validation loss {ev['val_loss']:.6f} | ppl {ev['val_ppl']:.3f}")
+                    writer.add_scalars(iteration, ev)
+
+            if args.exit_interval and iteration % args.exit_interval == 0:
+                print(f"exiting at iteration {iteration} (--exit-interval)")
+                break
+
+        if args.save:
+            host_state = jax.tree.map(np.asarray, {
+                "params": state["params"], "opt_state": state["opt_state"],
+                "iteration": iteration,
+            })
+            checkpointing.save_checkpoint(args.save, iteration, host_state)
+        writer.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -50,15 +50,18 @@ def get_checkpoint_iteration(load_dir: str) -> Optional[int]:
     return int(txt)
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    return _ckptr().restore(os.path.abspath(path))
+def load_checkpoint(path: str, target: Any = None) -> Dict[str, Any]:
+    """``target`` (a matching pytree, e.g. a freshly-initialized train
+    state) restores exact container types — orbax alone returns plain
+    dicts/lists, which breaks optax's NamedTuple states."""
+    return _ckptr().restore(os.path.abspath(path), item=target)
 
 
-def load_latest(load_dir: str) -> Optional[Dict[str, Any]]:
+def load_latest(load_dir: str, target: Any = None) -> Optional[Dict[str, Any]]:
     it = get_checkpoint_iteration(load_dir)
     if it is None:
         return None
-    return load_checkpoint(os.path.join(load_dir, str(it)))
+    return load_checkpoint(os.path.join(load_dir, str(it)), target=target)
 
 
 def maybe_load_orbax(path: str) -> Optional[Dict[str, Any]]:

@@ -1,0 +1,176 @@
+"""Data pipeline: formats, templates, deterministic resume, training step."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cogview_tpu.config import pad_vocab_size, tiny_test
+from cogview_tpu.data.datasets import BinaryDataset, IndexedDataset, get_dataset_by_type
+from cogview_tpu.data.loader import BatchIterator, DataConfig, make_loaders
+from cogview_tpu.data.position_ids import dual_segment_position_ids
+from cogview_tpu.data.templates import PureTextTemplate, TextCodeTemplate
+from cogview_tpu.tokenization.unified import FakeImageTokenizer, UnifiedTokenizer
+
+MODEL_PATH = "/root/reference/pretrained/chinese_sentencepiece/cog-pretrain.model"
+needs_model = pytest.mark.skipif(
+    not os.path.exists(MODEL_PATH), reason="cog-pretrain.model not available"
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return UnifiedTokenizer(
+        img_tokenizer=FakeImageTokenizer(8192), text_model_path=MODEL_PATH
+    )
+
+
+def _write_compact_bin(path, n=32, text_len=8, seed=0):
+    """reference CompactBinaryDataset rows: 64 text ids (-1 padded) + 1024 codes."""
+    rng = np.random.RandomState(seed)
+    rows = np.full((n, 64 + 1024), -1, np.int32)
+    rows[:, :text_len] = rng.randint(8192, 58192, size=(n, text_len))
+    rows[:, 64:] = rng.randint(0, 8192, size=(n, 1024))
+    rows.tofile(path)
+    return path
+
+
+@needs_model
+def test_compact_binary_dataset(tok, tmp_path):
+    path = _write_compact_bin(str(tmp_path / "t2i_train.bin"))
+    ds = get_dataset_by_type("CompactBinaryDataset", path, tok, max_len=1089)
+    assert len(ds) == 32
+    s = ds[0]
+    assert s["text"].shape == (1089,) and s["loss_mask"].shape == (1089,)
+    # layout: [ROI1] text [BASE][BOI1] code [EOI1] [PAD]...
+    assert s["text"][0] == tok["[ROI1]"]
+    sep = int(s["loss_mask"].sum())
+    assert s["text"][sep - 1] == tok["[EOI1]"]
+    assert (s["text"][sep:] == tok["[PAD]"]).all()
+    # 8 text + ROI1 + BASE + BOI1 + 1024 + EOI1
+    assert sep == 8 + 1 + 2 + 1024 + 1
+
+
+@needs_model
+def test_indexed_dataset_roundtrip(tok, tmp_path):
+    rows = [np.arange(i + 3, dtype=np.int32) for i in range(10)]
+    base = str(tmp_path / "var")
+    IndexedDataset.write(base, rows)
+    ds = IndexedDataset(base)
+    assert len(ds) == 10
+    for i in range(10):
+        np.testing.assert_array_equal(ds[i], rows[i])
+
+
+@needs_model
+def test_templates(tok):
+    t = TextCodeTemplate(tok, "一只猫", np.arange(1024))
+    assert t[0] == tok["[ROI1]"]
+    assert t[-1] == tok["[EOI1]"]
+    pt = PureTextTemplate(tok, "你好")
+    assert pt[-1] == tok["[SEP]"]
+
+
+def test_batch_iterator_determinism_and_resume(tok, tmp_path):
+    path = _write_compact_bin(str(tmp_path / "a.bin"), n=64)
+    ds = get_dataset_by_type("CompactBinaryDataset", path, tok, max_len=1089)
+
+    it1 = BatchIterator(ds, batch_size=4, seed=7)
+    batches1 = [next(iter_) for iter_ in [iter(it1)] for _ in range(10)]
+
+    it2 = BatchIterator(ds, batch_size=4, seed=7)
+    batches2 = []
+    g = iter(it2)
+    for _ in range(10):
+        batches2.append(next(g))
+    for a, b in zip(batches1, batches2):
+        np.testing.assert_array_equal(a["text"], b["text"])
+
+    # fast-forward resume: batches after ff(6) == batches1[6:]
+    it3 = BatchIterator(ds, batch_size=4, seed=7)
+    it3.fast_forward(6)
+    g3 = iter(it3)
+    for i in range(4):
+        np.testing.assert_array_equal(next(g3)["text"], batches1[6 + i]["text"])
+
+
+@needs_model
+def test_make_loaders_split_and_oversample(tok, tmp_path):
+    p1 = _write_compact_bin(str(tmp_path / "foo_t2i.bin"), n=40, seed=1)
+    cfg = DataConfig(
+        train_data=(p1,), batch_size=4, split=(0.8, 0.1, 0.1), max_len=1089
+    )
+    train, val, test = make_loaders(cfg, tok)
+    # t2i oversample x4: 160 total, 128 train -> 32 batches
+    assert train.batches_per_epoch() == 32
+    assert val is not None and test is not None
+
+
+def test_dual_segment_position_ids():
+    roi2 = 99
+    tokens = np.asarray([[1, 2, roi2, 5, 6], [roi2, 1, 2, 3, 4]])
+    pos = dual_segment_position_ids(tokens, roi2, max_position_embeddings=100)
+    np.testing.assert_array_equal(pos[0], [0, 1, 0, 1, 2])
+    np.testing.assert_array_equal(pos[1], [0, 1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        dual_segment_position_ids(np.asarray([[1, 2, 3]]), roi2, 10)
+
+
+def test_training_loss_decreases(tok, tmp_path):
+    """5 steps on a tiny model: loss finite and lower than at start."""
+    from cogview_tpu.models import gpt
+    from cogview_tpu.training.optim import make_optimizer
+    from cogview_tpu.training.train_loop import init_train_state, make_train_step
+
+    cfg = tiny_test(vocab_size=256, max_position_embeddings=32)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, lr=1e-2, warmup_iter=1, num_iters=100,
+                           weight_decay=0.0)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, img_vocab=64, txt_loss_scale=2.0)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": rng.randint(0, 200, size=(4, 17)).astype(np.int32),
+        "loss_mask": np.ones((4, 17), np.float32),
+    }
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["lm_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert int(state["skipped"]) == 0
+    assert int(state["step"]) == 6
+
+
+def test_nan_skip_guard(tok):
+    """A poisoned batch must not update params (pretrain_gpt2.py:415-417)."""
+    from cogview_tpu.models import gpt
+    from cogview_tpu.training.optim import make_optimizer
+    from cogview_tpu.training.train_loop import init_train_state, make_train_step
+
+    cfg = tiny_test(vocab_size=64, max_position_embeddings=16)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, lr=1e-3, warmup_iter=1, num_iters=10)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, img_vocab=16)
+
+    # poison the params via a NaN-producing batch is hard; poison params grad
+    # path instead: inject NaN into the word embedding and check skip
+    bad_params = dict(state["params"])
+    bad_params["embed"] = dict(bad_params["embed"])
+    bad_params["embed"]["word"] = state["params"]["embed"]["word"].at[0, 0].set(jnp.nan)
+    state["params"] = bad_params
+    before = np.asarray(state["params"]["embed"]["pos"])
+    batch = {
+        "text": np.zeros((2, 9), np.int32),
+        "loss_mask": np.ones((2, 9), np.float32),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert int(metrics["skipped"]) == 1
+    assert int(state["step"]) == 0
+    np.testing.assert_array_equal(np.asarray(state["params"]["embed"]["pos"]), before)
