@@ -59,6 +59,8 @@ def build_parser():
     t.add_argument("--txt-loss-scale", type=float, default=1.0)
     t.add_argument("--seed", type=int, default=1234)
     t.add_argument("--model-parallel-size", type=int, default=1)
+    t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
+                   help="1 = pivot+window sparse attention for training")
 
     d = p.add_argument_group("data")
     d.add_argument("--train-data", nargs="+", default=None)
@@ -197,6 +199,7 @@ def main(argv=None) -> int:
             img_vocab=tokenizer.img_tokenizer.num_tokens,
             txt_loss_scale=args.txt_loss_scale,
             remat=args.checkpoint_activations,
+            is_sparse=bool(args.is_sparse),
         )
         eval_loss = jax.jit(
             lambda p, b: lm_loss(

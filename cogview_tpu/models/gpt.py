@@ -37,6 +37,16 @@ from ..config import GPTConfig
 from ..ops.attention import causal_mask, decode_mask, dense_attention
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
+from ..ops.sparse_attention import pivot_window_attention
+
+
+class SparseSpec(NamedTuple):
+    """Pivot+window sparse attention inputs (ops/sparse_attention.py)."""
+
+    pivot_idx: jax.Array  # [B, P]
+    pivot_mask: jax.Array  # [B, S, P]
+    query_window: int
+    key_window_times: int
 
 Params = Dict[str, Any]
 
@@ -126,6 +136,7 @@ def _layer_body(
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,  # FULL caches [L,B,T,H]
     index: Optional[jax.Array] = None,  # write offset into the cache
     layer_idx: Optional[jax.Array] = None,  # which cache layer to touch
+    sparse: Optional["SparseSpec"] = None,
 ):
     B, S, H = h.shape
     N, D = cfg.num_heads, cfg.head_dim
@@ -167,10 +178,17 @@ def _layer_body(
             cv, (layer_idx, 0, 0, 0), (1, B, T, H)
         )[0].astype(cdt).reshape(B, T, N, D)
 
-    ctx = dense_attention(
-        q, k, v, mask,
-        dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
-    ).reshape(B, S, H)
+    if sparse is not None:
+        ctx = pivot_window_attention(
+            q, k, v, sparse.pivot_idx, sparse.pivot_mask,
+            sparse.query_window, sparse.key_window_times,
+            dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
+        ).reshape(B, S, H)
+    else:
+        ctx = dense_attention(
+            q, k, v, mask,
+            dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
+        ).reshape(B, S, H)
 
     attn_out = (
         jnp.einsum("bsh,hj->bsj", ctx, p["attn_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ctx))
@@ -227,8 +245,16 @@ def forward(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    sparse: Optional[SparseSpec] = None,
 ) -> jax.Array:
-    """Full forward -> fp32 logits [B, S, V]."""
+    """Full forward -> fp32 logits [B, S, V].
+
+    ``sparse`` switches every layer to pivot+window attention (the
+    reference's is_sparse=1 training mode); the dense mask args are then
+    ignored.  One pivot set serves all layers of the call — the reference
+    resamples per activation-checkpoint chunk
+    (sparse_transformer.py:555-570), a regularization nuance the caller can
+    reproduce by splitting the forward."""
     B, S = tokens.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
@@ -247,7 +273,7 @@ def forward(
     def body(h, xs):
         p, r = xs
         r = r if (train and rng is not None) else None
-        h, _ = _layer_body(cfg, h, p, attention_mask, r, train)
+        h, _ = _layer_body(cfg, h, p, attention_mask, r, train, sparse=sparse)
         return h, None
 
     if remat:

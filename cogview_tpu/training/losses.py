@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..config import GPTConfig
 from ..models import gpt
+from ..ops.sparse_attention import build_rmask, gather_pivot_mask, sample_pivots
 
 
 def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
@@ -40,6 +41,8 @@ def lm_loss(
     train: bool = True,
     remat: bool = True,
     position_ids: Optional[jax.Array] = None,
+    is_sparse: bool = False,
+    sparse_rng: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     text = batch["text"].astype(jnp.int32)
     mask = batch["loss_mask"].astype(jnp.float32)
@@ -51,9 +54,28 @@ def lm_loss(
     txt_ind = (~img_ind) & (lmask > 0)
     lmask = jnp.where(txt_ind, lmask * txt_loss_scale, lmask)
 
+    sparse = None
+    if is_sparse:
+        # pivot+window training attention (is_sparse=1); pivots = all text
+        # positions + random image positions, one draw per step
+        S = tokens.shape[1]
+        assert S % cfg.query_window == 0, (
+            f"seq len {S} must be divisible by query_window {cfg.query_window}"
+        )
+        if sparse_rng is None:
+            sparse_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        pivot_idx = sample_pivots(
+            sparse_rng, tokens, cfg.num_pivot, img_vocab, loss_mask=lmask
+        )
+        rmask = jnp.asarray(build_rmask(S, cfg.query_window, cfg.key_window_times))
+        pivot_mask = gather_pivot_mask(rmask, pivot_idx)
+        sparse = gpt.SparseSpec(
+            pivot_idx, pivot_mask, cfg.query_window, cfg.key_window_times
+        )
+
     logits = gpt.forward(
         params, cfg, tokens, position_ids=position_ids, train=train, rng=rng,
-        remat=remat,
+        remat=remat, sparse=sparse,
     )
     ce = cross_entropy_logits(logits, labels)
     losses = ce * lmask

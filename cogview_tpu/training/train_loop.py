@@ -47,6 +47,7 @@ def make_train_step(
     txt_loss_scale: float = 1.0,
     remat: bool = True,
     donate: bool = True,
+    is_sparse: bool = False,
 ):
     """-> jitted train_step(state, batch, rng) -> (state, metrics)."""
 
@@ -54,7 +55,7 @@ def make_train_step(
         return lm_loss(
             params, cfg, batch,
             img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
-            rng=rng, train=True, remat=remat,
+            rng=rng, train=True, remat=remat, is_sparse=is_sparse,
         )
 
     def step_fn(state: TrainState, batch, rng):
