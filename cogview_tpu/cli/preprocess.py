@@ -1,0 +1,92 @@
+"""Preprocessing CLI — the reference ``preprocess_entry.py`` rebuilt.
+
+Streams images from a folder/zip/tar/h5 source, looks up captions in a
+TSV/JSON text source, VQ-encodes on the accelerator, and writes training
+corpora: CompactBinary .bin for text2image, IndexedDataset for
+super-resolution pairs and pure text.
+
+  python -m cogview_tpu.cli.preprocess --task text2image \
+      --image-source imgs.zip --text-source captions.tsv \
+      --img-tokenizer-path vqvae.pt --output data/mycorpus_t2i.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser("cogview-tpu preprocess")
+    p.add_argument("--task", default="text2image",
+                   choices=["text2image", "super-resolution", "text"])
+    p.add_argument("--image-source", default=None,
+                   help="dir | .zip | .tar[.gz] | .h5 of images")
+    p.add_argument("--text-source", default=None, help=".tsv or .json captions")
+    p.add_argument("--output", required=True)
+    p.add_argument("--img-tokenizer-path", default=None)
+    p.add_argument("--text-model-path", default=None)
+    p.add_argument("--img-size", type=int, default=None,
+                   help="default: 256 (t2i) / 512 (super-resolution)")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--sampling-num", type=int, default=4,
+                   help="SR patches sampled per image")
+    p.add_argument("--seq-len", type=int, default=1089, help="text task row length")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..data.datasets import IndexedDataset
+    from ..preprocess.raw_datasets import TsvTextSource, open_image_source
+    from ..preprocess.tokenize_images import (
+        CompactBinaryWriter,
+        make_cut_text_rows,
+        make_super_resolution_rows,
+        make_text_image_rows,
+    )
+    from ..tokenization import UnifiedTokenizer
+    from ..tokenization.vq_tokenizer import JaxVQTokenizer
+
+    t0 = time.time()
+    if args.task == "text":
+        tok = UnifiedTokenizer(text_model_path=args.text_model_path)
+        with open(args.text_source or args.image_source, encoding="utf-8") as f:
+            texts = [line.strip() for line in f if line.strip()]
+        rows = []
+        n = make_cut_text_rows(tok, texts, args.seq_len, rows)
+        IndexedDataset.write(args.output, rows)
+        print(f"wrote {n} rows -> {args.output}.bin in {time.time()-t0:.1f}s")
+        return 0
+
+    if args.img_tokenizer_path:
+        vq = JaxVQTokenizer.from_checkpoint(args.img_tokenizer_path)
+    else:
+        print("[warn] no --img-tokenizer-path: random VQ-VAE", file=sys.stderr)
+        vq = JaxVQTokenizer.random_init()
+    tok = UnifiedTokenizer(img_tokenizer=vq, text_model_path=args.text_model_path)
+    text_source = TsvTextSource(args.text_source)
+    img_size = args.img_size or (512 if args.task == "super-resolution" else 256)
+    source = open_image_source(args.image_source, img_size=img_size)
+
+    if args.task == "text2image":
+        writer = CompactBinaryWriter(args.output)
+        n = make_text_image_rows(vq, tok, iter(source), text_source, writer,
+                                 batch_size=args.batch_size, log_every=512)
+        writer.close()
+        print(f"wrote {n} rows -> {args.output} in {time.time()-t0:.1f}s")
+    else:
+        rows = []
+        n = make_super_resolution_rows(
+            vq, tok, iter(source), text_source, rows,
+            img_size=img_size, sampling_num=args.sampling_num,
+            batch_size=args.batch_size,
+        )
+        IndexedDataset.write(args.output, rows)
+        print(f"wrote {n} rows -> {args.output}.bin in {time.time()-t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
