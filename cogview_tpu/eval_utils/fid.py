@@ -1,0 +1,98 @@
+"""Frechet Inception Distance — the TTUR-derived math of the reference
+(eval_utils/fid_score.py) with a pluggable feature extractor.
+
+The reference pulls pool3 features from torchvision's pretrained
+InceptionV3.  This environment has no torchvision / no pretrained weights,
+so the metric math (statistics + matrix-sqrt Frechet distance, exactly the
+published formula) is decoupled from the extractor:
+
+  * pass any callable ``images [n,h,w,3] float in [0,1] -> features [n,d]``
+    (e.g. a ported InceptionV3 — drop its weights in and wire it up);
+  * :class:`VQEncoderFeatures` offers an offline proxy using the VQ-VAE
+    encoder's pooled pre-quantization features.  Useful for relative
+    comparisons during development; NOT comparable to published FID numbers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import numpy as np
+from scipy import linalg
+
+
+def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    features = np.asarray(features, np.float64)
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) (fid_score.py math)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(f"imaginary component {np.max(np.abs(covmean.imag))}")
+        covmean = covmean.real
+
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
+    mu1, s1 = compute_statistics(feats1)
+    mu2, s2 = compute_statistics(feats2)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def fid_from_images(
+    images1: np.ndarray,
+    images2: np.ndarray,
+    extractor: Callable[[np.ndarray], np.ndarray],
+    batch_size: int = 32,
+) -> float:
+    def feats(images):
+        out = []
+        for i in range(0, len(images), batch_size):
+            out.append(np.asarray(extractor(images[i : i + batch_size])))
+        return np.concatenate(out, axis=0)
+
+    return fid_from_features(feats(images1), feats(images2))
+
+
+class VQEncoderFeatures:
+    """Offline proxy extractor: pooled VQ-VAE encoder features.
+
+    images in [0,1] -> normalize -> encoder -> spatial mean [n, embed_dim].
+    """
+
+    def __init__(self, vq_params, mean=None, std=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import vqvae
+
+        mean = np.asarray(mean if mean is not None else vqvae.IMG_MEAN, np.float32)
+        std = np.asarray(std if std is not None else vqvae.IMG_STD, np.float32)
+
+        @jax.jit
+        def _extract(imgs):
+            x = (imgs - mean) / std
+            z = vqvae.encode_features(vq_params, x)
+            return jnp.mean(z, axis=(1, 2))
+
+        self._extract = _extract
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self._extract(jnp.asarray(images, jnp.float32)))

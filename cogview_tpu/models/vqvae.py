@@ -107,7 +107,8 @@ def init_params(key: jax.Array, cfg: VQVAEConfig = VQVAEConfig()) -> Params:
     quant = {
         "embed": embed,
         "cluster_size": jnp.zeros((cfg.n_embed,), jnp.float32),
-        "embed_avg": embed,
+        # distinct buffer: embed/embed_avg must be separately donatable
+        "embed_avg": embed + jnp.zeros_like(embed),
     }
     return {"encoder": enc, "quantize": quant, "decoder": dec}
 

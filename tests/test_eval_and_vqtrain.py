@@ -1,0 +1,117 @@
+"""Eval harness math, VQ-VAE trainer, and the fp16 loss-scale shim."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cogview_tpu.eval_utils.fid import (
+    compute_statistics,
+    fid_from_features,
+    frechet_distance,
+)
+from cogview_tpu.eval_utils.inception_score import inception_score_from_probs
+from cogview_tpu.training.loss_scaler import (
+    init_loss_scale,
+    scale_loss,
+    unscale_grads,
+    update_loss_scale,
+)
+
+
+def test_frechet_identity_is_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(500, 16)
+    mu, s = compute_statistics(f)
+    assert abs(frechet_distance(mu, s, mu, s)) < 1e-6
+
+
+def test_frechet_known_gaussians():
+    """Diagonal Gaussians: FID = ||dmu||^2 + sum (sqrt(s1)-sqrt(s2))^2."""
+    d = 4
+    mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+    s1, s2 = np.eye(d) * 4.0, np.eye(d) * 1.0
+    want = float(np.sum((mu1 - mu2) ** 2) + d * (2.0 - 1.0) ** 2)
+    got = frechet_distance(mu1, s1, mu2, s2)
+    assert abs(got - want) < 1e-8
+
+
+def test_fid_sensitivity():
+    rng = np.random.RandomState(0)
+    a = rng.randn(800, 8)
+    b = rng.randn(800, 8)
+    c = rng.randn(800, 8) + 3.0
+    near = fid_from_features(a, b)
+    far = fid_from_features(a, c)
+    assert near < 1.0 < far
+
+
+def test_inception_score_bounds():
+    n, c = 500, 10
+    uniform = np.full((n, c), 1.0 / c)
+    mean_u, _ = inception_score_from_probs(uniform)
+    assert abs(mean_u - 1.0) < 1e-6  # uniform conditionals -> IS = 1
+    onehot = np.eye(c)[np.random.RandomState(0).randint(0, c, n)]
+    mean_o, _ = inception_score_from_probs(onehot * 0.999 + 1e-4)
+    assert mean_o > 5.0  # confident + diverse -> high IS
+
+
+def test_vq_encoder_feature_extractor():
+    from cogview_tpu.eval_utils.fid import VQEncoderFeatures
+    from cogview_tpu.models import vqvae
+
+    params = vqvae.init_params(jax.random.PRNGKey(0))
+    ex = VQEncoderFeatures(params)
+    imgs = np.random.RandomState(0).rand(3, 32, 32, 3).astype(np.float32)
+    feats = ex(imgs)
+    assert feats.shape == (3, 256)
+    assert np.isfinite(feats).all()
+
+
+def test_vqvae_training_reduces_loss():
+    import optax
+
+    from cogview_tpu.models import vqvae
+    from cogview_tpu.training.vqvae_train import (
+        init_vqvae_train_state,
+        make_vqvae_train_step,
+    )
+
+    params = vqvae.init_params(jax.random.PRNGKey(0))
+    embed0 = np.asarray(params["quantize"]["embed"])  # donated below
+    tx = optax.adam(3e-4)
+    state = init_vqvae_train_state(params, tx)
+    step = make_vqvae_train_step(tx)
+    batch = jnp.asarray(
+        np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    )
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert 0.0 < float(metrics["codebook_usage"]) <= 1.0
+    # codebook actually moved (EMA)
+    assert not np.allclose(
+        np.asarray(state["params"]["quantize"]["embed"]), embed0
+    )
+
+
+def test_loss_scaler_dynamics():
+    st = init_loss_scale(init_scale=1024.0, hysteresis=2)
+    # overflow twice: first consumes hysteresis, second lowers the scale
+    st, ok = update_loss_scale(st, jnp.bool_(True), scale_window=4)
+    assert not bool(ok) and float(st.scale) == 1024.0
+    st, ok = update_loss_scale(st, jnp.bool_(True), scale_window=4)
+    assert float(st.scale) == 512.0
+    # four good steps -> doubles
+    for _ in range(4):
+        st, ok = update_loss_scale(st, jnp.bool_(False), scale_window=4)
+    assert bool(ok) and float(st.scale) == 1024.0
+    # scaling helpers round-trip
+    g = {"w": jnp.ones(3)}
+    assert float(scale_loss(jnp.float32(2.0), st)) == 2.0 * 1024.0
+    back = unscale_grads(jax.tree.map(lambda x: x * st.scale, g), st)
+    np.testing.assert_allclose(np.asarray(back["w"]), 1.0, rtol=1e-6)
