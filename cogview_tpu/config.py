@@ -45,6 +45,11 @@ class GPTConfig:
     query_window: int = 128
     key_window_times: int = 6
     num_pivot: int = 768
+    # flash (Pallas) attention for causal training/prefill paths; requires
+    # attention_dropout == 0 (no in-kernel prob dropout). Off by default:
+    # on the current runtime it matches XLA step time while saving the
+    # O(S^2) score memory — enable for memory-bound configs.
+    use_flash_attention: bool = False
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
 

@@ -37,6 +37,7 @@ from ..config import GPTConfig
 from ..ops.attention import causal_mask, decode_mask, dense_attention
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
+from ..ops.flash_attention import flash_attention
 from ..ops.sparse_attention import pivot_window_attention
 
 
@@ -137,6 +138,7 @@ def _layer_body(
     index: Optional[jax.Array] = None,  # write offset into the cache
     layer_idx: Optional[jax.Array] = None,  # which cache layer to touch
     sparse: Optional["SparseSpec"] = None,
+    sep_for_flash: Optional[int] = None,  # static sep when mask is causal+sep
 ):
     B, S, H = h.shape
     N, D = cfg.num_heads, cfg.head_dim
@@ -184,6 +186,13 @@ def _layer_body(
             sparse.query_window, sparse.key_window_times,
             dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
         ).reshape(B, S, H)
+    elif (
+        cfg.use_flash_attention
+        and kv is None
+        and sep_for_flash is not None
+        and not (train and cfg.attention_dropout > 0.0)
+    ):
+        ctx = flash_attention(q, k, v, sep_for_flash).reshape(B, S, H)
     else:
         ctx = dense_attention(
             q, k, v, mask,
@@ -258,8 +267,10 @@ def forward(
     B, S = tokens.shape
     if position_ids is None:
         position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    sep_for_flash = None
     if attention_mask is None:
         attention_mask = causal_mask(S, sep=sep)
+        sep_for_flash = sep  # mask is exactly causal+sep: flash-eligible
 
     if rng is not None:
         rng, r_embed = jax.random.split(rng)
@@ -273,7 +284,8 @@ def forward(
     def body(h, xs):
         p, r = xs
         r = r if (train and rng is not None) else None
-        h, _ = _layer_body(cfg, h, p, attention_mask, r, train, sparse=sparse)
+        h, _ = _layer_body(cfg, h, p, attention_mask, r, train, sparse=sparse,
+                           sep_for_flash=sep_for_flash)
         return h, None
 
     if remat:
