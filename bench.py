@@ -17,7 +17,14 @@ the readme's "runs slow" guidance).  The >=10x target from BASELINE.json
 therefore corresponds to vs_baseline >= 10.
 
 Env overrides: COGVIEW_BENCH_PRESET=tiny|tutorial|base (default base on
-accelerators, tiny on cpu), COGVIEW_BENCH_BATCH, COGVIEW_BENCH_REPS.
+accelerators, tiny on cpu), COGVIEW_BENCH_BATCH, COGVIEW_BENCH_REPS, and
+COGVIEW_BENCH_MODE selecting the BASELINE.md config:
+
+  decode (default)  256x256 text2image AR decode       [config 2]
+  vq                VQ-VAE encode+decode roundtrip      [config 1]
+  score             post-selection scoring, 8 cands    [config 3]
+  sr                sliding-window magnify 256->512     [config 4]
+  train             pretrain fwd/bwd step                [config 5]
 """
 
 import json
@@ -72,11 +79,146 @@ def pick_cfg():
     }[preset](), preset
 
 
+def bench_vq(reps, batch):
+    import time as _t
+
+    from cogview_tpu.models import vqvae
+
+    params = vqvae.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32))
+    enc = jax.jit(vqvae.img2code)
+    dec = jax.jit(vqvae.code2img)
+    codes = enc(params, imgs)
+    np.asarray(dec(params, codes))  # compile both
+    t0 = _t.time()
+    for _ in range(reps):
+        codes = enc(params, imgs)
+        out = dec(params, codes)
+    np.asarray(out)
+    dt = _t.time() - t0
+    ips = reps * batch / dt
+    return {
+        "metric": "VQ-VAE 256x256 encode+decode roundtrips/sec",
+        "value": round(ips, 2), "unit": "images/sec",
+        "vs_baseline": round(ips / 30.0, 2),  # ~30 img/s V100 fp16 estimate
+        "extra": {"batch": batch, "reps": reps},
+    }
+
+
+def bench_score(cfg, reps, n_cands=8):
+    import time as _t
+
+    from cogview_tpu.generation.scoring import inverse_prompt_score
+    from cogview_tpu.models import gpt
+
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    S = 1028 + 20
+    tokens = rng.randint(0, 58000, size=(n_cands, S)).astype(np.int32)
+    tokens[:, 1027] = CMD["[ROI1]"]
+    np.asarray(inverse_prompt_score(params, cfg, jnp.asarray(tokens)))
+    t0 = _t.time()
+    for _ in range(reps):
+        out = inverse_prompt_score(params, cfg, jnp.asarray(tokens))
+    np.asarray(out)
+    dt = _t.time() - t0
+    qps = reps / dt
+    return {
+        "metric": f"post-selection rerank ({n_cands} candidates)/sec",
+        "value": round(qps, 3), "unit": "queries/sec",
+        "vs_baseline": round(qps / 0.5, 2),  # ~2 s/query V100 estimate
+        "extra": {"candidates": n_cands, "reps": reps,
+                  "seconds_per_query": round(1.0 / qps, 3)},
+    }
+
+
+def bench_sr(cfg, reps, batch=4):
+    import time as _t
+
+    from cogview_tpu.generation.magnify import magnify
+    from cogview_tpu.generation.sampling import SamplingParams
+    from cogview_tpu.models import gpt
+
+    cfg = cfg.replace(max_position_embeddings=1345)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, IMG_VOCAB, (batch, 1024))
+    text = [CMD["[ROI1]"]] + list(range(IMG_VOCAB + 100, IMG_VOCAB + 110)) + [CMD["[BASE]"], CMD["[BOI1]"]]
+    # warmup/compile (windows share one compiled shape)
+    magnify(params, cfg, _LayoutTokenizer(), codes, text, SamplingParams(seed=0))
+    t0 = _t.time()
+    for i in range(reps):
+        out = magnify(params, cfg, _LayoutTokenizer(), codes, text,
+                      SamplingParams(seed=i + 1))
+    dt = _t.time() - t0
+    ips = reps * batch / dt
+    return {
+        "metric": "super-resolution magnify 256->512 images/sec",
+        "value": round(ips, 4), "unit": "images/sec",
+        "vs_baseline": round(ips / 0.005, 2),  # readme 'runs slow': ~200 s/img V100 estimate
+        "extra": {"reps": reps, "batch": batch,
+                  "seconds_per_image": round(1.0 / ips, 1)},
+    }
+
+
+def bench_train(cfg, reps, batch):
+    import time as _t
+
+    from cogview_tpu.models import gpt
+    from cogview_tpu.training.optim import make_optimizer
+    from cogview_tpu.training.train_loop import init_train_state, make_train_step
+
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=True)
+    rng = np.random.RandomState(0)
+    b = {
+        "text": rng.randint(0, 58000, size=(batch, 1089)).astype(np.int32),
+        "loss_mask": np.ones((batch, 1089), np.float32),
+    }
+    state, m = step(state, b, jax.random.PRNGKey(1))
+    float(m["lm_loss"])
+    t0 = _t.time()
+    for i in range(reps):
+        state, m = step(state, b, jax.random.PRNGKey(i + 2))
+    float(m["lm_loss"])
+    dt = _t.time() - t0
+    tps = reps * batch * 1088 / dt
+    return {
+        "metric": "pretrain tokens/sec (tutorial 12L/1024H, remat)",
+        "value": round(tps, 1), "unit": "tokens/sec/chip",
+        "vs_baseline": round(tps / 12000.0, 2),  # ~12k tok/s/V100 estimate
+        "extra": {"batch": batch, "reps": reps,
+                  "ms_per_step": round(dt / reps * 1000, 1)},
+    }
+
+
 def main():
     from cogview_tpu.generation.sampling import SamplingParams, compile_template, filling_sequence
     from cogview_tpu.models import gpt
 
     cfg, preset = pick_cfg()
+    mode = os.environ.get("COGVIEW_BENCH_MODE", "decode")
+    if mode != "decode":
+        reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
+        batch = int(os.environ.get("COGVIEW_BENCH_BATCH", "8"))
+        if mode == "vq":
+            result = bench_vq(reps, batch)
+        elif mode == "score":
+            result = bench_score(cfg, reps)
+        elif mode == "sr":
+            result = bench_sr(cfg, max(1, reps // 3), batch)
+        elif mode == "train":
+            tcfg, _ = pick_cfg()
+            from cogview_tpu.config import cogview_tutorial, smoke
+            tcfg = cogview_tutorial() if preset == "base" else smoke()
+            result = bench_train(tcfg, reps * 3, batch)
+        else:
+            raise ValueError(mode)
+        print(json.dumps(result))
+        return
     batch = int(os.environ.get("COGVIEW_BENCH_BATCH", "8"))
     reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
 

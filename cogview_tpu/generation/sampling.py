@@ -62,9 +62,13 @@ class SamplingParams:
 
 @dataclasses.dataclass
 class Template:
-    """Host-compiled generation template (static per-position metadata)."""
+    """Host-compiled generation template (static per-position metadata).
 
-    tokens: np.ndarray  # [S] int32, -1 slots zeroed
+    ``tokens`` may be [S] (one template, sampled batch-wise) or [B, S]
+    (per-row fixed ids sharing one slot pattern — the batched-magnify
+    case); is_fixed/mask_id/position_ids are always [S]."""
+
+    tokens: np.ndarray  # [S] or [B, S] int32, -1 slots zeroed
     is_fixed: np.ndarray  # [S] bool
     mask_id: np.ndarray  # [S] int32 in {0,1,2}
     position_ids: np.ndarray  # [S] int32
@@ -73,7 +77,7 @@ class Template:
 
     @property
     def length(self) -> int:
-        return len(self.tokens)
+        return int(self.tokens.shape[-1])
 
 
 def build_mask_table(img_vocab: int, txt_vocab: int, padded_vocab: int) -> np.ndarray:
@@ -84,6 +88,33 @@ def build_mask_table(img_vocab: int, txt_vocab: int, padded_vocab: int) -> np.nd
     table[MODE_IMAGE, :img_vocab] = True
     table[MODE_TEXT, img_vocab : img_vocab + txt_vocab] = True
     return table
+
+
+def compile_template_batch(
+    seqs: Sequence[Sequence[int]],
+    tokenizer,
+    padded_vocab: int,
+    pad_to: Optional[int] = None,
+) -> Template:
+    """Batch of templates sharing one slot pattern (fixed/generated layout
+    and command structure must match across rows); tokens become [B, S]."""
+    tpls = [compile_template(s, tokenizer, padded_vocab, pad_to) for s in seqs]
+    first = tpls[0]
+    for t in tpls[1:]:
+        if not (
+            np.array_equal(t.is_fixed, first.is_fixed)
+            and np.array_equal(t.mask_id, first.mask_id)
+            and np.array_equal(t.position_ids, first.position_ids)
+        ):
+            raise ValueError("templates in a batch must share one slot pattern")
+    return Template(
+        np.stack([t.tokens for t in tpls]),
+        first.is_fixed,
+        first.mask_id,
+        first.position_ids,
+        first.context_length,
+        first.mask_table,
+    )
 
 
 def compile_template(
@@ -233,7 +264,7 @@ def _filling_sequence_jit(
     top_k: int,
     top_p: float,
 ):
-    S = tokens_tpl.shape[0]
+    S = tokens_tpl.shape[-1]
     B = batch_size
     V = mask_table.shape[1]
     ctx = context_length
@@ -251,7 +282,7 @@ def _filling_sequence_jit(
     def step(t, state):
         tokens, cache, last_logits, scores, rng = state
         fixed = is_fixed[t]
-        tpl_tok = tokens_tpl[t]
+        tpl_tok = tokens[:, t]  # already template-filled at fixed slots
 
         filtered = last_logits / temperature
         allowed = mask_table[mask_id[t]]
@@ -266,8 +297,7 @@ def _filling_sequence_jit(
             log_probs, sampled[:, None], axis=-1
         )[:, 0]
 
-        tok_t = jnp.where(fixed, tpl_tok, sampled)  # [B] (tpl_tok broadcasts)
-        tok_t = jnp.broadcast_to(tok_t, (B,)).astype(jnp.int32)
+        tok_t = jnp.where(fixed, tpl_tok, sampled).astype(jnp.int32)  # [B]
         scores = scores + jnp.where(fixed, 0.0, samp_score)
         tokens = lax.dynamic_update_slice(tokens, tok_t[:, None], (0, t))
 
@@ -299,6 +329,10 @@ def filling_sequence(
     (sampling.py:172-178).
     """
     rng = rbg_key(sampling.seed if rng is None else rng)
+    if template.tokens.ndim == 2 and template.tokens.shape[0] != batch_size:
+        raise ValueError(
+            f"batched template rows {template.tokens.shape[0]} != batch_size {batch_size}"
+        )
     max_pos = int(template.position_ids.max())
     if max_pos >= cfg.max_position_embeddings:
         # the reference rejects over-long contexts up front

@@ -134,3 +134,18 @@ def test_magnify_windows(tok, params):
     out = magnify(big_params, cfg, tok, code, text, SamplingParams(seed=2, top_k=4))
     assert out.shape == (1, 4096)
     assert (out >= 0).all() and (out < 16).all()
+
+
+@needs_model
+def test_magnify_batched_matches_shapes(tok):
+    """Batched magnify: [B,1024] codes -> [B,4096], all image codes."""
+    cfg = CFG.replace(max_position_embeddings=1400)
+    big_params = gpt.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 16, (2, 1024))
+    text = tok.parse_query("[ROI1] 猫 [BASE] [BOI1]")
+    out = magnify(big_params, cfg, tok, codes, text, SamplingParams(seed=5, top_k=4))
+    assert out.shape == (2, 4096)
+    assert (out >= 0).all() and (out < 16).all()
+    # different inputs produce different outputs
+    assert not np.array_equal(out[0], out[1])
