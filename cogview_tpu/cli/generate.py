@@ -137,7 +137,9 @@ def load_model(args):
         params = jax.tree.map(jnp.asarray, params)
     else:
         print("[warn] no --load: random-initialized model", file=sys.stderr)
-        params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+        # init directly in compute dtype: a 4B fp32 init would need 16GB
+        # HBM before the cast (the chip has 15.75GB)
+        params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=cfg.compute_dtype)
     # decode reads weights every step: keep them in compute dtype on device
     params = jax.tree.map(lambda x: x.astype(cfg.compute_dtype)
                           if x.dtype == jnp.float32 else x, params)
