@@ -81,6 +81,11 @@ def build_parser():
     io.add_argument("--summary-dir", default=None)
     io.add_argument("--experiment-name", default="cogview-tpu")
     io.add_argument("--exit-interval", type=int, default=None)
+    io.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 10-13 (the "
+                        "TPU analog of the reference wall_clock_breakdown)")
+    io.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (TPU pod slices)")
     return p
 
 
@@ -132,6 +137,11 @@ def evaluate(step_loss_fn, state, val_iter, eval_iters):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.multihost:
+        # pod runtime discovers coordinator/topology itself — the analog of
+        # the reference's hostfile/ssh/NCCL-env machinery is one call
+        jax.distributed.initialize()
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -141,6 +151,10 @@ def main(argv=None) -> int:
 
     cfg = get_config(args)
     tokenizer = build_tokenizer(args)
+    if cfg.vocab_size < len(tokenizer):
+        print(f"[warn] model vocab {cfg.vocab_size} < tokenizer vocab "
+              f"{len(tokenizer)}: out-of-range ids will NaN (and be skipped); "
+              "check --preset", file=sys.stderr)
     timers = Timers()
     writer = MetricsWriter(args.summary_dir, args.experiment_name)
 
@@ -241,6 +255,12 @@ def main(argv=None) -> int:
             log_img += float(metrics["img_loss"])
             log_txt += float(metrics["txt_loss"])
 
+            if args.profile_dir and iteration == 10:
+                jax.profiler.start_trace(args.profile_dir)
+            if args.profile_dir and iteration == 13:
+                jax.profiler.stop_trace()
+                print(f"profiler trace (steps 10-13) -> {args.profile_dir}")
+
             if iteration % args.log_interval == 0:
                 n = args.log_interval
                 elapsed = (time.time() - t_last) * 1000.0 / n
@@ -253,6 +273,8 @@ def main(argv=None) -> int:
                     f"skipped {int(state['skipped'])}",
                     flush=True,
                 )
+                print("   " + timers.log(["data loader", "train step"],
+                                           normalizer=n), flush=True)
                 writer.add_scalars(iteration, {
                     "lr": lr_now, "train_loss": log_loss / n,
                     "img_loss": log_img / n, "txt_loss": log_txt / n,
