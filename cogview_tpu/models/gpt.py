@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import GPTConfig
-from ..ops.attention import causal_mask, decode_mask, dense_attention
+from ..ops.attention import causal_mask, decode_mask, dense_attention, dense_attention_kvT
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
 from ..ops.flash_attention import flash_attention
@@ -97,21 +97,29 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
 
 
 class KVCache(NamedTuple):
-    """K/V stored flat over the hidden dim: [L, B, T, H].
+    """K/V stored TRANSPOSED: [L, B, H, T].
 
-    H (a multiple of 128) must be the trailing dim — a [.., N, D] layout
-    with D=64 pads to 128 lanes and doubles the cache's HBM footprint
-    (measured: 1020MB -> 1.99GB at cogview-base scale).  The heads split is
-    a free bitcast inside the attention fusion.
+    Layout rules (measured at cogview-base scale):
+    * the head split must not be materialized — [.., N, D] with D=64 pads
+      to 128 lanes and doubles the footprint; H=2560 stays lane-aligned;
+    * T minor matches the layout XLA assigns the in-loop attention
+      matmuls (it otherwise rewrites the cache into this layout itself,
+      via layout-change copies at batch >= 10).  Note XLA's while-loop
+      buffer compression still keeps ~2x one cache of headroom at the
+      prefill/loop boundary, which caps batch at 8 on a 16GB chip.
     """
 
-    k: jax.Array  # [L, B, T, H]
-    v: jax.Array  # [L, B, T, H]
+    k: jax.Array  # [L, B, H, T]
+    v: jax.Array  # [L, B, H, T]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None) -> KVCache:
     dtype = dtype or cfg.compute_dtype
-    shape = (cfg.num_layers, batch, max_len, cfg.hidden_size)
+    shape = (cfg.num_layers, batch, cfg.hidden_size, max_len)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -161,26 +169,27 @@ def _layer_body(
 
     new_kv = None
     if kv is not None:
-        # The full [L,B,T,H] caches thread through the layer scan as a
-        # carry: one in-place dynamic_update_slice per layer, no xs->ys
-        # whole-cache copies (those cost 2x the cache in HBM per step).
+        # Full [L,B,H,T] caches thread through the layer scan as a carry:
+        # one in-place dynamic_update_slice per layer (no xs->ys copies),
+        # stored transposed so the in-loop matmuls keep one layout.
         ck, cv = kv
-        T = ck.shape[2]
-        ck = lax.dynamic_update_slice(
-            ck, qkv[:, :, 1].astype(ck.dtype)[None], (layer_idx, 0, index, 0)
-        )
-        cv = lax.dynamic_update_slice(
-            cv, qkv[:, :, 2].astype(cv.dtype)[None], (layer_idx, 0, index, 0)
-        )
+        T = ck.shape[3]
+        k_col = jnp.swapaxes(qkv[:, :, 1], 1, 2).astype(ck.dtype)  # [B,H,S]
+        v_col = jnp.swapaxes(qkv[:, :, 2], 1, 2).astype(cv.dtype)
+        ck = lax.dynamic_update_slice(ck, k_col[None], (layer_idx, 0, 0, index))
+        cv = lax.dynamic_update_slice(cv, v_col[None], (layer_idx, 0, 0, index))
         new_kv = (ck, cv)
-        k = lax.dynamic_slice(
-            ck, (layer_idx, 0, 0, 0), (1, B, T, H)
-        )[0].astype(cdt).reshape(B, T, N, D)
-        v = lax.dynamic_slice(
-            cv, (layer_idx, 0, 0, 0), (1, B, T, H)
-        )[0].astype(cdt).reshape(B, T, N, D)
+        kT = lax.dynamic_slice(
+            ck, (layer_idx, 0, 0, 0), (1, B, H, T)
+        )[0].astype(cdt).reshape(B, N, D, T)
+        vT = lax.dynamic_slice(
+            cv, (layer_idx, 0, 0, 0), (1, B, H, T)
+        )[0].astype(cdt).reshape(B, N, D, T)
+        ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
 
-    if sparse is not None:
+    if kv is not None:
+        pass  # ctx computed above on the transposed cache
+    elif sparse is not None:
         ctx = pivot_window_attention(
             q, k, v, sparse.pivot_idx, sparse.pivot_mask,
             sparse.query_window, sparse.key_window_times,
@@ -313,7 +322,7 @@ def forward_with_cache(
     Returns fp32 logits [B, Q, V] and the updated cache.
     """
     B, Q = tokens.shape
-    T = cache.k.shape[2]
+    T = cache.max_len
     h = _embed(params, cfg, tokens, position_ids, None, False)
 
     q_abs = index + jnp.arange(Q, dtype=jnp.int32)

@@ -57,6 +57,35 @@ def dense_attention(
     ).astype(v.dtype)
 
 
+def dense_attention_kvT(
+    q: jax.Array,  # [B, Sq, N, D]
+    kT: jax.Array,  # [B, N, D, T]  (transposed cache layout)
+    vT: jax.Array,  # [B, N, D, T]
+    mask: jax.Array,  # broadcastable to [B, N, Sq, T]
+) -> jax.Array:
+    """Decode attention over the transposed KV cache.
+
+    The cache stores K/V as [L,B,H,T] because XLA's layout assignment for
+    the in-loop score/value matmuls prefers the contracted dims minor;
+    keeping the carry in that layout removes two whole-cache layout-change
+    copies per decode step (measured: 2 x 2.6GB at batch 10)."""
+    d = q.shape[-1]
+    scale = 1.0 / math.sqrt(d)
+    scores = jnp.einsum(
+        "bqnd,bndk->bnqk",
+        (q * scale).astype(q.dtype),
+        kT,
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(q, kT),
+    )
+    scores = jnp.where(mask.astype(bool), scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vT.dtype)
+    return jnp.einsum(
+        "bnqk,bndk->bqnd", probs, vT,
+        preferred_element_type=jnp.float32, precision=dot_precision(probs, vT),
+    ).astype(vT.dtype)
+
+
 def causal_mask(sq: int, sk: Optional[int] = None, sep: int = 0) -> jax.Array:
     """[1, 1, sq, sk] prefix-LM mask (reference build_mask_matrix,
     sparse_transformer.py:482-489): causal over the trailing sq queries,

@@ -55,13 +55,13 @@ def batch_spec() -> P:
 
 
 def cache_spec() -> Any:
-    """KV cache [L, B, T, H]: batch over 'data', hidden (= heads-major)
+    """KV cache [L, B, H, T]: batch over 'data', hidden (= heads-major)
     over 'model' — slicing H across 'model' slices whole heads."""
     from ..models.gpt import KVCache
 
     return KVCache(
-        P(None, DATA_AXIS, None, MODEL_AXIS),
-        P(None, DATA_AXIS, None, MODEL_AXIS),
+        P(None, DATA_AXIS, MODEL_AXIS, None),
+        P(None, DATA_AXIS, MODEL_AXIS, None),
     )
 
 
