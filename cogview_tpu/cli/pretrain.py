@@ -23,7 +23,6 @@ import numpy as np
 
 from ..config import GPTConfig
 from ..data.loader import DataConfig, detect_new_datasets, make_loaders
-from ..data.position_ids import dual_segment_position_ids
 from ..training import checkpointing
 from ..training.optim import make_optimizer
 from ..training.train_loop import init_train_state, make_train_step
@@ -61,6 +60,9 @@ def build_parser():
     t.add_argument("--model-parallel-size", type=int, default=1)
     t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
                    help="1 = pivot+window sparse attention for training")
+    t.add_argument("--dual-positions", action="store_true",
+                   help="dual-segment position ids restarting at [ROI2] "
+                        "(super-resolution finetuning)")
 
     d = p.add_argument_group("data")
     d.add_argument("--train-data", nargs="+", default=None)
@@ -214,6 +216,7 @@ def main(argv=None) -> int:
             txt_loss_scale=args.txt_loss_scale,
             remat=args.checkpoint_activations,
             is_sparse=bool(args.is_sparse),
+            dual_positions_roi2=(tokenizer["[ROI2]"] if args.dual_positions else None),
         )
         eval_loss = jax.jit(
             lambda p, b: lm_loss(

@@ -9,7 +9,6 @@ tutorial config is 12L/1024H/16.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

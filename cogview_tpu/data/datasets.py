@@ -20,7 +20,7 @@ padded to max-length with [PAD] and a 1/0 mask.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import numpy as np
 

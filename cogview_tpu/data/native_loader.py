@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Optional
-
 import numpy as np
 
 _LIB_PATHS = (os.path.join(os.path.dirname(__file__), "..", "lib", "libdataio.so"),)

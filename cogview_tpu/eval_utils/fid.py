@@ -15,7 +15,7 @@ published formula) is decoupled from the extractor:
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 from scipy import linalg

@@ -7,7 +7,7 @@ probabilities directly when a classifier already ran.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ magnified rows 16i..16i+line and columns 16j..16j+32.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ tab-separated input fields):
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import jax
 import numpy as np

@@ -23,7 +23,7 @@ under the union mask — the equivalence test the reference only printed
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

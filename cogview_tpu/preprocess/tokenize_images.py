@@ -16,7 +16,7 @@ Rebuild of preprocess/pretokenized_data.py + preprocess_text_image_data.py:
 from __future__ import annotations
 
 import os
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Sequence, Tuple
 
 import numpy as np
 

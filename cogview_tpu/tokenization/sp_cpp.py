@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import Iterable, List, Optional
+from typing import Iterable, List
 
 _LIB_PATHS = (
     os.path.join(os.path.dirname(__file__), "..", "lib", "libspm.so"),

@@ -7,9 +7,6 @@ are jitted once and reused across queries.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

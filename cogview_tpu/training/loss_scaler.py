@@ -10,7 +10,7 @@ DynamicLossScaler (fp16/loss_scaler.py:63-183): scale doubles after
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

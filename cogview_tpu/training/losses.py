@@ -10,7 +10,7 @@ are reported separately (txt unscaled back).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,21 @@ def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return lse - picked
 
 
+def dual_position_ids(tokens: jax.Array, roi2_id: int, max_pos: int) -> jax.Array:
+    """In-jit dual-segment position ids (SR finetuning): restart at the
+    first [ROI2] per row (pretrain_gpt2.py:228-247); rows without [ROI2]
+    fall back to 0..S-1 (the host-side numpy variant raises instead)."""
+    B, S = tokens.shape
+    is_roi2 = tokens == roi2_id
+    has = jnp.any(is_roi2, axis=1)
+    sep = jnp.argmax(is_roi2, axis=1)
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    second = pos - sep[:, None].astype(jnp.int32)
+    dual = jnp.where(second >= 0, second, pos)
+    out = jnp.where(has[:, None], dual, pos)
+    return jnp.minimum(out, max_pos - 1)
+
+
 def lm_loss(
     params,
     cfg: GPTConfig,
@@ -43,6 +58,7 @@ def lm_loss(
     position_ids: Optional[jax.Array] = None,
     is_sparse: bool = False,
     sparse_rng: Optional[jax.Array] = None,
+    dual_positions_roi2: Optional[int] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     text = batch["text"].astype(jnp.int32)
     mask = batch["loss_mask"].astype(jnp.float32)
@@ -53,6 +69,11 @@ def lm_loss(
     img_ind = tokens < img_vocab
     txt_ind = (~img_ind) & (lmask > 0)
     lmask = jnp.where(txt_ind, lmask * txt_loss_scale, lmask)
+
+    if position_ids is None and dual_positions_roi2 is not None:
+        position_ids = dual_position_ids(
+            tokens, dual_positions_roi2, cfg.max_position_embeddings
+        )
 
     sparse = None
     if is_sparse:

@@ -16,8 +16,7 @@ giving the opt state the same shardings as the params.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +47,7 @@ def make_train_step(
     remat: bool = True,
     donate: bool = True,
     is_sparse: bool = False,
+    dual_positions_roi2=None,
 ):
     """-> jitted train_step(state, batch, rng) -> (state, metrics)."""
 
@@ -56,6 +56,7 @@ def make_train_step(
             params, cfg, batch,
             img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
             rng=rng, train=True, remat=remat, is_sparse=is_sparse,
+            dual_positions_roi2=dual_positions_roi2,
         )
 
     def step_fn(state: TrainState, batch, rng):

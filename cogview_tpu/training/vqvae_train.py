@@ -10,8 +10,7 @@ reference left commented at vqvae_zc.py:71-72 — here it's just sharding).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

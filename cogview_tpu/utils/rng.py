@@ -14,7 +14,7 @@ sampling noise and dropout masks.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ tunneled runtime a tiny host transfer is the reliable fence).
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 def device_fence():

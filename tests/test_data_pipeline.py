@@ -174,3 +174,32 @@ def test_nan_skip_guard(tok):
     assert int(metrics["skipped"]) == 1
     assert int(state["step"]) == 0
     np.testing.assert_array_equal(np.asarray(state["params"]["embed"]["pos"]), before)
+
+
+def test_dual_positions_in_loss():
+    """lm_loss(dual_positions_roi2=...) == lm_loss(position_ids=manual)."""
+    from cogview_tpu.models import gpt
+    from cogview_tpu.training.losses import dual_position_ids, lm_loss
+
+    cfg = tiny_test(vocab_size=128, max_position_embeddings=16)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    roi2 = 100
+    rng = np.random.RandomState(0)
+    text = rng.randint(0, 90, size=(2, 13)).astype(np.int32)
+    text[0, 5] = roi2
+    text[1, 2] = roi2
+    batch = {"text": text, "loss_mask": np.ones((2, 13), np.float32)}
+
+    tokens = jnp.asarray(text[:, :-1])
+    pos = dual_position_ids(tokens, roi2, cfg.max_position_embeddings)
+    pos_np = np.asarray(pos)
+    # row 0: restart at index 5
+    np.testing.assert_array_equal(pos_np[0], [0, 1, 2, 3, 4, 0, 1, 2, 3, 4, 5, 6])
+
+    a, _ = lm_loss(params, cfg, batch, img_vocab=32, train=False, remat=False,
+                   dual_positions_roi2=roi2)
+    b, _ = lm_loss(params, cfg, batch, img_vocab=32, train=False, remat=False,
+                   position_ids=pos)
+    c, _ = lm_loss(params, cfg, batch, img_vocab=32, train=False, remat=False)
+    assert float(a) == float(b)
+    assert float(a) != float(c)  # dual positions actually change the loss
