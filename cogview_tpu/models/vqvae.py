@@ -251,6 +251,53 @@ def quantize_st(
     return quant_st, codes, diff, new_q
 
 
+def quantize_gumbel(
+    params: Params,
+    z: jax.Array,
+    rng: jax.Array,
+    temperature: float = 1.0,
+    hard: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gumbel-softmax relaxed quantization (reference vqvae_zc.py:55-65,
+    284-346): logits = -distance; soft mode returns the softmax-weighted
+    codebook mixture with a KL(q || uniform) regularizer; hard mode uses
+    the straight-through one-hot.
+
+    Returns (quantized [..., D], kl_or_zero, codes [...]).
+    """
+    q = params["quantize"]
+    embed = q["embed"].astype(jnp.float32)  # [D, K]
+    flat = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+    scores = jnp.dot(flat, embed, preferred_element_type=jnp.float32,
+                     precision=dot_precision(flat))
+    dist = (
+        jnp.sum(flat**2, axis=-1, keepdims=True)
+        - 2.0 * scores
+        + jnp.sum(embed**2, axis=0)[None, :]
+    )
+    logits = -dist
+    g = jax.random.gumbel(rng, logits.shape, jnp.float32)
+    y_soft = jax.nn.softmax((logits + g) / temperature, axis=-1)
+    codes = jnp.argmax(y_soft, axis=-1).astype(jnp.int32)
+    if hard:
+        y_hard = jax.nn.one_hot(codes, embed.shape[1], dtype=y_soft.dtype)
+        y = y_soft + jax.lax.stop_gradient(y_hard - y_soft)  # straight-through
+        kl = jnp.zeros(())
+    else:
+        y = y_soft
+        qy = jax.nn.softmax(logits, axis=-1)
+        kl = jnp.mean(
+            jnp.sum(qy * jnp.log(qy * embed.shape[1] + 1e-20), axis=-1)
+        )
+    quant = jnp.dot(y, embed.T, preferred_element_type=jnp.float32,
+                    precision=dot_precision(y))
+    return (
+        quant.reshape(z.shape).astype(z.dtype),
+        kl,
+        codes.reshape(z.shape[:-1]),
+    )
+
+
 def codebook_stats(z: jax.Array, codes: jax.Array, n_embed: int):
     """Sufficient statistics for the EMA update (psum these across DP)."""
     flat = jax.lax.stop_gradient(z).reshape(-1, z.shape[-1])
