@@ -24,8 +24,10 @@ import numpy as np
 from ..config import GPTConfig
 from ..data.loader import DataConfig, detect_new_datasets, make_loaders
 from ..training import checkpointing
+from ..training.loss_scaler import LossScaleState
 from ..training.optim import make_optimizer
-from ..training.train_loop import init_train_state, make_train_step
+from ..training.train_loop import (init_fp16_train_state, init_train_state,
+                                   make_fp16_train_step, make_train_step)
 from ..utils.metrics import MetricsWriter
 from ..utils.timers import Timers
 
@@ -63,6 +65,14 @@ def build_parser():
     t.add_argument("--dual-positions", action="store_true",
                    help="dual-segment position ids restarting at [ROI2] "
                         "(super-resolution finetuning)")
+    t.add_argument("--fp16", action="store_true",
+                   help="float16 compute with dynamic loss scaling (the "
+                        "reference FP16_Optimizer engine; TPU default is "
+                        "bf16, which needs no scaling)")
+    t.add_argument("--loss-scale-init", type=float, default=2.0 ** 32)
+    t.add_argument("--loss-scale-window", type=int, default=1000)
+    t.add_argument("--min-loss-scale", type=float, default=1.0)
+    t.add_argument("--loss-scale-hysteresis", type=int, default=2)
 
     d = p.add_argument_group("data")
     d.add_argument("--train-data", nargs="+", default=None)
@@ -120,12 +130,14 @@ def build_tokenizer(args):
     )
 
 
-def evaluate(step_loss_fn, state, val_iter, eval_iters):
+def evaluate(step_loss_fn, state, val_batches, eval_iters):
+    """``val_batches`` is one long-lived iterator (reference
+    pretrain_gpt2.py:569 evaluates from a persistent val iterator);
+    re-calling iter() per eval would leak a prefetch thread each time."""
     losses = []
-    it = iter(val_iter)
     for _ in range(eval_iters):
         try:
-            batch = next(it)
+            batch = next(val_batches)
         except StopIteration:
             break
         losses.append(float(step_loss_fn(state["params"], batch)))
@@ -191,32 +203,70 @@ def main(argv=None) -> int:
     with jax.set_mesh(mesh):
         params = gpt.init_params(jax.random.PRNGKey(args.seed), cfg)
         params = shard_params(params, mesh, gpt_param_specs())
-        state = init_train_state(params, tx)
+        if args.fp16:
+            state = init_fp16_train_state(
+                params, tx, init_scale=args.loss_scale_init,
+                hysteresis=args.loss_scale_hysteresis,
+            )
+        else:
+            state = init_train_state(params, tx)
         iteration = 0
+        rng = jax.random.PRNGKey(args.seed + 1)
+        loader_consumed = 0  # batches drawn from the *current* train iterator
 
         if args.load:
             target = {
                 "params": jax.tree.map(np.asarray, state["params"]),
                 "opt_state": jax.tree.map(np.asarray, state["opt_state"]),
                 "iteration": 0,
+                "rng": np.asarray(rng),
+                "loader_consumed": 0,
             }
+            if args.fp16:
+                target["loss_scale"] = jax.tree.map(np.asarray,
+                                                    state["loss_scale"]._asdict())
             loaded = checkpointing.load_latest(args.load, target=target)
             if loaded is not None:
                 state["params"] = jax.tree.map(jnp.asarray, loaded["params"])
                 if not args.finetune and "opt_state" in loaded:
                     state["opt_state"] = jax.tree.map(jnp.asarray, loaded["opt_state"])
                     iteration = int(loaded.get("iteration", 0))
+                    # bit-deterministic resume: training rng + loss-scaler
+                    # state + dataloader position (reference utils.py:203-220)
+                    if loaded.get("rng") is not None:
+                        rng = jnp.asarray(loaded["rng"])
+                    if args.fp16 and loaded.get("loss_scale") is not None:
+                        state["loss_scale"] = LossScaleState(
+                            **jax.tree.map(jnp.asarray, loaded["loss_scale"]))
+                    loader_consumed = int(loaded.get("loader_consumed", iteration))
                 print(f"loaded checkpoint from {args.load} at iteration {iteration}")
-        if args.resume_dataloader and iteration > 0:
-            train_it.fast_forward(iteration)
+        if args.resume_dataloader and loader_consumed > 0:
+            train_it.fast_forward(loader_consumed)
 
-        step = make_train_step(
+        def host_checkpoint_state():
+            hs = {
+                "params": state["params"], "opt_state": state["opt_state"],
+                "iteration": iteration, "rng": rng,
+                "loader_consumed": loader_consumed,
+            }
+            if args.fp16:
+                hs["loss_scale"] = state["loss_scale"]._asdict()
+            return jax.tree.map(np.asarray, hs)
+
+        mk_step = make_fp16_train_step if args.fp16 else make_train_step
+        extra = {}
+        if args.fp16:
+            extra = dict(scale_window=args.loss_scale_window,
+                         min_scale=args.min_loss_scale,
+                         hysteresis=args.loss_scale_hysteresis)
+        step = mk_step(
             cfg, tx,
             img_vocab=tokenizer.img_tokenizer.num_tokens,
             txt_loss_scale=args.txt_loss_scale,
             remat=args.checkpoint_activations,
             is_sparse=bool(args.is_sparse),
             dual_positions_roi2=(tokenizer["[ROI2]"] if args.dual_positions else None),
+            **extra,
         )
         eval_loss = jax.jit(
             lambda p, b: lm_loss(
@@ -233,8 +283,8 @@ def main(argv=None) -> int:
 
         known_paths = set(args.train_data or ())
         data_iter = iter(train_it)
+        eval_batches = None  # created lazily, reused across eval intervals
         log_loss, log_img, log_txt, t_last = 0.0, 0.0, 0.0, time.time()
-        rng = jax.random.PRNGKey(args.seed + 1)
 
         while iteration < args.train_iters:
             if iteration % 100 == 0 and iteration > 0:
@@ -243,9 +293,11 @@ def main(argv=None) -> int:
                     print(f"detected new datasets ({len(known_paths)} paths)")
                     train_it = new_it
                     data_iter = iter(train_it)
+                    loader_consumed = 0  # position is relative to the new loader
 
             timers("data loader").start()
             batch = put(next(data_iter))
+            loader_consumed += 1
             timers("data loader").stop()
 
             timers("train step").start()
@@ -287,15 +339,14 @@ def main(argv=None) -> int:
                 t_last = time.time()
 
             if args.save and iteration % args.save_interval == 0:
-                host_state = jax.tree.map(np.asarray, {
-                    "params": state["params"], "opt_state": state["opt_state"],
-                    "iteration": iteration,
-                })
-                checkpointing.save_checkpoint(args.save, iteration, host_state)
+                checkpointing.save_checkpoint(args.save, iteration,
+                                              host_checkpoint_state())
                 print(f"saved checkpoint at iteration {iteration}")
 
             if val_it is not None and iteration % args.eval_interval == 0:
-                ev = evaluate(eval_loss, state, val_it, args.eval_iters)
+                if eval_batches is None:
+                    eval_batches = iter(val_it)
+                ev = evaluate(eval_loss, state, eval_batches, args.eval_iters)
                 if ev:
                     print(f" validation loss {ev['val_loss']:.6f} | ppl {ev['val_ppl']:.3f}")
                     writer.add_scalars(iteration, ev)
@@ -305,11 +356,8 @@ def main(argv=None) -> int:
                 break
 
         if args.save:
-            host_state = jax.tree.map(np.asarray, {
-                "params": state["params"], "opt_state": state["opt_state"],
-                "iteration": iteration,
-            })
-            checkpointing.save_checkpoint(args.save, iteration, host_state)
+            checkpointing.save_checkpoint(args.save, iteration,
+                                          host_checkpoint_state())
         writer.close()
     return 0
 

@@ -76,6 +76,41 @@ def process_file(path: str, args, params, cfg, tokenizer, sampling) -> int:
     return n
 
 
+def watch_folder(input_folder: str, process, time_interval: float = 10.0,
+                 max_polls: int = 0) -> int:
+    """Poll ``input_folder`` for *.txt query files; run ``process(path)`` on
+    each.  Successes move to done/, failures to failed/ (with the exception
+    text in a sibling .err file) so done/ only ever holds successfully
+    processed inputs and failed queries are never silently dropped."""
+    done_dir = os.path.join(input_folder, "done")
+    failed_dir = os.path.join(input_folder, "failed")
+    os.makedirs(done_dir, exist_ok=True)
+    os.makedirs(failed_dir, exist_ok=True)
+
+    polls = 0
+    while True:
+        entries = sorted(
+            e for e in os.listdir(input_folder)
+            if e.endswith(".txt") and os.path.isfile(os.path.join(input_folder, e))
+        )
+        for e in entries:
+            src = os.path.join(input_folder, e)
+            t0 = time.time()
+            try:
+                n = process(src)
+                print(f"processed {e}: {n} queries in {time.time()-t0:.1f}s", flush=True)
+                shutil.move(src, os.path.join(done_dir, e))
+            except Exception as exc:  # keep serving on bad inputs
+                print(f"[error] {e}: {exc}", flush=True)
+                shutil.move(src, os.path.join(failed_dir, e))
+                with open(os.path.join(failed_dir, e + ".err"), "w") as err:
+                    err.write(f"{type(exc).__name__}: {exc}\n")
+        polls += 1
+        if max_polls and polls >= max_polls:
+            return 0
+        time.sleep(time_interval)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     params, cfg = load_model(args)
@@ -85,30 +120,15 @@ def main(argv=None) -> int:
 
     os.makedirs(args.input_folder_path, exist_ok=True)
     os.makedirs(args.img_folder_path, exist_ok=True)
-    done_dir = os.path.join(args.input_folder_path, "done")
-    os.makedirs(done_dir, exist_ok=True)
 
-    polls = 0
     print(f"serving: watching {args.input_folder_path} every "
           f"{args.time_interval}s -> {args.img_folder_path}", flush=True)
-    while True:
-        entries = sorted(
-            e for e in os.listdir(args.input_folder_path)
-            if e.endswith(".txt") and os.path.isfile(os.path.join(args.input_folder_path, e))
-        )
-        for e in entries:
-            src = os.path.join(args.input_folder_path, e)
-            t0 = time.time()
-            try:
-                n = process_file(src, args, params, cfg, tokenizer, sampling)
-                print(f"processed {e}: {n} queries in {time.time()-t0:.1f}s", flush=True)
-            except Exception as exc:  # keep serving on bad inputs
-                print(f"[error] {e}: {exc}", flush=True)
-            shutil.move(src, os.path.join(done_dir, e))
-        polls += 1
-        if args.max_polls and polls >= args.max_polls:
-            return 0
-        time.sleep(args.time_interval)
+    return watch_folder(
+        args.input_folder_path,
+        lambda src: process_file(src, args, params, cfg, tokenizer, sampling),
+        time_interval=args.time_interval,
+        max_polls=args.max_polls,
+    )
 
 
 if __name__ == "__main__":

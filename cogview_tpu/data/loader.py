@@ -189,15 +189,21 @@ def _prefetch_iter(it, depth: int):
 
 
 def make_loaders(cfg: DataConfig, tokenizer):
-    """-> (train, val, test) BatchIterators (None when split is empty)."""
+    """-> (train, val, test) BatchIterators (None when split is empty).
+
+    Val/test iterators are built with prefetch=0: eval consumers iterate
+    them intermittently, and a daemon prefetch thread per ``iter()`` call
+    would leak (blocked on q.put) every eval interval."""
     ds = build_dataset(cfg, tokenizer)
     train_ds, val_ds, test_ds = split_dataset(ds, cfg.split, cfg.seed)
-    mk = lambda d, shuffle: (
-        BatchIterator(d, cfg.batch_size, seed=cfg.seed, shuffle=shuffle)
+    mk = lambda d, shuffle, prefetch: (
+        BatchIterator(d, cfg.batch_size, seed=cfg.seed, shuffle=shuffle,
+                      prefetch=prefetch)
         if d is not None and len(d) >= cfg.batch_size
         else None
     )
-    return mk(train_ds, cfg.shuffle), mk(val_ds, False), mk(test_ds, False)
+    return (mk(train_ds, cfg.shuffle, 2), mk(val_ds, False, 0),
+            mk(test_ds, False, 0))
 
 
 def detect_new_datasets(cfg: DataConfig, tokenizer, known_paths: set):

@@ -260,10 +260,16 @@ def quantize_gumbel(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Gumbel-softmax relaxed quantization (reference vqvae_zc.py:55-65,
     284-346): logits = -distance; soft mode returns the softmax-weighted
-    codebook mixture with a KL(q || uniform) regularizer; hard mode uses
-    the straight-through one-hot.
+    codebook mixture; hard mode a pure hard codebook lookup (the reference's
+    ``embed_code(embed_ind)`` — encoder gradients flow only through the KL
+    term there, not through quantize).  Both relaxed modes return the
+    KL(q || uniform) regularizer as ``diff`` (vqvae_zc.py:88-90), and in
+    hard mode the reference additionally runs the EMA codebook update
+    (vqvae_zc.py:67-83) — callers get the identical statistics from
+    ``codebook_stats(z, codes, K)`` / ``ema_codebook_update`` (the ST
+    one-hot it feeds is numerically the plain one-hot of ``codes``).
 
-    Returns (quantized [..., D], kl_or_zero, codes [...]).
+    Returns (quantized [..., D], kl, codes [...]).
     """
     q = params["quantize"]
     embed = q["embed"].astype(jnp.float32)  # [D, K]
@@ -279,16 +285,13 @@ def quantize_gumbel(
     g = jax.random.gumbel(rng, logits.shape, jnp.float32)
     y_soft = jax.nn.softmax((logits + g) / temperature, axis=-1)
     codes = jnp.argmax(y_soft, axis=-1).astype(jnp.int32)
+    qy = jax.nn.softmax(logits, axis=-1)
+    kl = jnp.mean(jnp.sum(qy * jnp.log(qy * embed.shape[1] + 1e-20), axis=-1))
     if hard:
-        y_hard = jax.nn.one_hot(codes, embed.shape[1], dtype=y_soft.dtype)
-        y = y_soft + jax.lax.stop_gradient(y_hard - y_soft)  # straight-through
-        kl = jnp.zeros(())
+        y = jax.lax.stop_gradient(jax.nn.one_hot(codes, embed.shape[1],
+                                                 dtype=y_soft.dtype))
     else:
         y = y_soft
-        qy = jax.nn.softmax(logits, axis=-1)
-        kl = jnp.mean(
-            jnp.sum(qy * jnp.log(qy * embed.shape[1] + 1e-20), axis=-1)
-        )
     quant = jnp.dot(y, embed.T, preferred_element_type=jnp.float32,
                     precision=dot_precision(y))
     return (

@@ -75,8 +75,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, bq, bk, sep, s_actual, sca
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return m_new, l, acc
 
-    # only blocks up to (and including) the diagonal contribute
-    last = jnp.minimum(nkb, (qi + 1) * bq // bk + 1)
+    # blocks up to the diagonal contribute, plus the bidirectional prefix
+    # (kpos < sep) which may extend past this q-block's diagonal
+    sep_blocks = -(-sep // bk)  # static cdiv
+    last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
     m, l, acc = lax.fori_loop(0, last, body, (m, l, acc))
     o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
     l_ref[0, 0, :, 0] = (m + jnp.log(l))[:, 0]
@@ -110,7 +112,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         ds = p * (dp - delta) * scale
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
-    last = jnp.minimum(nkb, (qi + 1) * bq // bk + 1)
+    sep_blocks = -(-sep // bk)  # prefix keys are visible past the diagonal
+    last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
     dq = lax.fori_loop(0, last, body, dq)
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
@@ -142,8 +145,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 
-    # q-blocks at or after this k-block's diagonal
-    first = (ki * bk) // bq
+    # q-blocks at or after this k-block's diagonal — unless this k-block
+    # holds bidirectional-prefix keys (kpos < sep), visible to every q-block
+    first = jnp.where(ki * bk < sep, 0, (ki * bk) // bq)
     dk, dv = lax.fori_loop(first, nqb, body, (dk, dv))
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)

@@ -3,8 +3,14 @@ tracker-file protocol.
 
 Layout mirrors the reference's directory contract (utils.py:158-234):
 
-    <save>/<iteration>/            one orbax checkpoint (params, opt state,
-                                   rng, iteration, lr state)
+    <save>/<iteration>/            one orbax checkpoint: params, opt state,
+                                   iteration, training rng, dataloader
+                                   position (loader_consumed), and — under
+                                   --fp16 — the dynamic loss-scaler state
+                                   (the TPU analog of utils.py:203-220's
+                                   rng-state bundle; the lr schedule is a
+                                   pure function of iteration, so it needs
+                                   no saved state)
     <save>/latest_checkpointed_iteration.txt
 
 so ``load_latest`` resumes exactly like utils.py:255-380 (including the

@@ -24,9 +24,11 @@ import optax
 
 from ..config import GPTConfig
 from .losses import lm_loss
+from .loss_scaler import (LossScaleState, init_loss_scale, unscale_grads,
+                          update_loss_scale)
 from ..utils.rng import rbg_key
 
-TrainState = Dict[str, Any]  # {'params', 'opt_state', 'step', 'skipped'}
+TrainState = Dict[str, Any]  # {'params', 'opt_state', 'step', 'skipped'[, 'loss_scale']}
 
 
 def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
@@ -80,6 +82,93 @@ def make_train_step(
             "skipped": state["skipped"] + (~finite).astype(jnp.int32),
         }
         metrics = dict(metrics, grad_norm=gnorm, skipped=(~finite).astype(jnp.int32))
+        return state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def init_fp16_train_state(
+    params, tx: optax.GradientTransformation,
+    init_scale: float = 2.0 ** 32, hysteresis: int = 2,
+) -> TrainState:
+    state = init_train_state(params, tx)
+    state["loss_scale"] = init_loss_scale(init_scale, hysteresis)
+    return state
+
+
+def make_fp16_train_step(
+    cfg: GPTConfig,
+    tx: optax.GradientTransformation,
+    *,
+    img_vocab: int = 8192,
+    txt_loss_scale: float = 1.0,
+    remat: bool = True,
+    donate: bool = True,
+    is_sparse: bool = False,
+    dual_positions_roi2=None,
+    scale_factor: float = 2.0,
+    scale_window: int = 1000,
+    min_scale: float = 1.0,
+    hysteresis: int = 2,
+):
+    """fp16-compute training step with dynamic loss scaling — the end-to-end
+    analog of the reference FP16_Optimizer engine (fp16/fp16.py:74-554):
+    params stay fp32 ("master weights" are just the params under functional
+    state), the model computes in float16, the loss is scaled before the
+    backward pass, gradients are unscaled in fp32, and an overflow skips
+    the update and drives DynamicLossScaler's scale_window/hysteresis
+    state machine.  Overflow detection via a global isfinite reduction is
+    already MP/DP-global under pjit (the sharded analog of the MP-group
+    all-reduce at fp16/loss_scaler.py:114-123).
+
+    State must come from ``init_fp16_train_state`` (adds 'loss_scale').
+    -> jitted train_step(state, batch, rng) -> (state, metrics).
+    """
+    cfg = cfg.replace(compute_dtype=jnp.float16)
+
+    def loss_fn(params, batch, rng, scale):
+        loss, metrics = lm_loss(
+            params, cfg, batch,
+            img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
+            rng=rng, train=True, remat=remat, is_sparse=is_sparse,
+            dual_positions_roi2=dual_positions_roi2,
+        )
+        return loss * scale, (loss, metrics)
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = rbg_key(rng)
+        ls: LossScaleState = state["loss_scale"]
+        grads, (loss, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng, ls.scale
+        )
+        grads = unscale_grads(grads, ls)
+        gnorm = optax.global_norm(grads)
+        overflow = ~(jnp.isfinite(loss) & jnp.isfinite(gnorm))
+        new_ls, apply_update = update_loss_scale(
+            ls, overflow, scale_factor=scale_factor, scale_window=scale_window,
+            min_scale=min_scale, hysteresis=hysteresis,
+        )
+
+        # non-finite grads would poison the optimizer state; zero them so the
+        # update math stays finite, then select old state on overflow anyway
+        safe_grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(safe_grads, state["opt_state"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+
+        def sel(new, old):
+            return jax.tree.map(lambda n, o: jnp.where(apply_update, n, o), new, old)
+
+        state = {
+            "params": sel(new_params, state["params"]),
+            "opt_state": sel(new_opt, state["opt_state"]),
+            "step": state["step"] + apply_update.astype(jnp.int32),
+            "skipped": state["skipped"] + overflow.astype(jnp.int32),
+            "loss_scale": new_ls,
+        }
+        metrics = dict(metrics, grad_norm=gnorm, loss_scale=new_ls.scale,
+                       skipped=overflow.astype(jnp.int32))
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

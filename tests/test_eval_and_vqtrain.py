@@ -130,7 +130,9 @@ def test_gumbel_quantize_modes():
 
     hard, kl_h, codes_h = vqvae.quantize_gumbel(params, z, jax.random.PRNGKey(2),
                                                 temperature=1.0, hard=True)
-    assert float(kl_h) == 0.0
+    # hard mode still returns the KL regularizer (reference vqvae_zc.py:88-90
+    # computes diff=KL for both relaxed modes), identical to the soft one
+    np.testing.assert_allclose(float(kl_h), float(kl), rtol=1e-6)
     # hard output is an exact codebook vector per position
     emb = np.asarray(params["quantize"]["embed"]).T  # [K, D]
     got = np.asarray(hard)[0, 0, 0]
@@ -160,3 +162,27 @@ def test_gumbel_soft_gradient_flows():
     g = jax.grad(f)(z)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_gumbel_trainer_hard_updates_codebook():
+    """Hard-mode gumbel trainer: loss finite, EMA codebook moves (the
+    reference runs the EMA update in continuous_relax+hard training,
+    vqvae_zc.py:67-83), temperature traced (no recompile to anneal)."""
+    import optax
+    from cogview_tpu.models import vqvae
+    from cogview_tpu.training.vqvae_train import (
+        init_vqvae_train_state, make_vqvae_gumbel_train_step)
+
+    params = vqvae.init_params(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3)
+    state = init_vqvae_train_state(params, tx)
+    step = make_vqvae_gumbel_train_step(tx, hard=True)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    embed0 = np.asarray(params["quantize"]["embed"])
+    for i, temp in enumerate([1.0, 0.9]):
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i),
+                              jnp.float32(temp))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["kl"]))
+    embed1 = np.asarray(state["params"]["quantize"]["embed"])
+    assert np.abs(embed1 - embed0).max() > 0  # EMA moved the codebook

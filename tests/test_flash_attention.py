@@ -38,6 +38,31 @@ def test_flash_sep_prefix():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("s,sep,bq,bk", [(192, 100, 32, 32), (256, 180, 64, 64)])
+def test_flash_sep_larger_than_block(s, sep, bq, bk):
+    """Regression: sep > block_k (and > 2*block_q) — the prefix extends past
+    the causal diagonal, so fwd/dq loop bounds must include prefix key
+    blocks and dkv must start at q-block 0 for prefix key blocks."""
+    q, k, v = _mk(s, seed=7)
+    want = dense_attention(q, k, v, causal_mask(s, sep=sep))
+    got = flash_attention(q, k, v, sep, bq, bk, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.mean(flash_attention(q, k, v, sep, bq, bk, True) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.mean(dense_attention(q, k, v, causal_mask(s, sep=sep)) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch at sep={sep}",
+        )
+
+
 def test_flash_backward_matches_dense():
     s = 128
     q, k, v = _mk(s, seed=2)
