@@ -1,10 +1,16 @@
-"""FID CLI (reference eval_utils/fid_score.py:54-67 surface).
+"""FID / Inception-Score CLI (reference eval_utils/fid_score.py:54-67 and
+inception_score.py surfaces).
 
   python -m cogview_tpu.cli.fid --path1 real_imgs/ --path2 gen_imgs/ \
-      [--img-tokenizer-path vqvae.pt]
+      [--inception-weights inception_v3.pth] [--extractor inception|vq]
 
-Without a ported InceptionV3 this uses the VQ-encoder proxy extractor —
-valid for relative comparisons, not for quoting against published FID.
+The extractor is the JAX InceptionV3 port (pool3 2048-d, exactly the
+reference's block-3 features).  Pass --inception-weights with a
+torchvision ``inception_v3`` state-dict file for published-comparable
+numbers; without it, the net is random-init (relative comparisons only —
+loudly flagged).  --extractor vq selects the VQ-encoder proxy instead.
+--inception-score additionally reports IS of --path2 (needs the fc head,
+i.e. pretrained weights, for meaningful numbers).
 """
 
 from __future__ import annotations
@@ -38,29 +44,69 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser("cogview-tpu fid")
     p.add_argument("--path1", required=True)
     p.add_argument("--path2", required=True)
-    p.add_argument("--img-tokenizer-path", default=None)
+    p.add_argument("--extractor", default="inception", choices=["inception", "vq"])
+    p.add_argument("--inception-weights", default=None,
+                   help="torchvision inception_v3 state-dict (.pth/.pt)")
+    p.add_argument("--img-tokenizer-path", default=None,
+                   help="VQ-VAE .pt for --extractor vq")
+    p.add_argument("--inception-score", action="store_true",
+                   help="also report IS of --path2")
+    p.add_argument("--is-splits", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args(argv)
 
     import jax
 
-    from ..eval_utils.fid import VQEncoderFeatures, fid_from_images
-    from ..models import vqvae
-    from ..models.convert import load_vqvae_checkpoint
+    from ..eval_utils.fid import (InceptionFeatures, VQEncoderFeatures,
+                                  fid_from_images)
 
-    if args.img_tokenizer_path:
-        params = load_vqvae_checkpoint(args.img_tokenizer_path)
+    if args.extractor == "inception":
+        extractor = InceptionFeatures(weights_path=args.inception_weights)
+        label = "FID" if extractor.pretrained else "FID(random-init inception)"
+        if not extractor.pretrained:
+            print("[warn] no --inception-weights: random-init InceptionV3 — "
+                  "NOT comparable to published FID", file=sys.stderr)
     else:
-        print("[warn] random VQ-VAE extractor (relative comparisons only)",
-              file=sys.stderr)
-        params = vqvae.init_params(jax.random.PRNGKey(0))
-    extractor = VQEncoderFeatures(params)
+        from ..models import vqvae
+        from ..models.convert import load_vqvae_checkpoint
+
+        if args.img_tokenizer_path:
+            params = load_vqvae_checkpoint(args.img_tokenizer_path)
+        else:
+            print("[warn] random VQ-VAE extractor (relative comparisons only)",
+                  file=sys.stderr)
+            params = vqvae.init_params(jax.random.PRNGKey(0))
+        extractor = VQEncoderFeatures(params)
+        label = "FID(vq-proxy)"
 
     imgs1 = load_image_dir(args.path1, limit=args.limit)
     imgs2 = load_image_dir(args.path2, limit=args.limit)
     fid = fid_from_images(imgs1, imgs2, extractor, args.batch_size)
-    print(f"FID(proxy): {fid:.4f}  (n1={len(imgs1)}, n2={len(imgs2)})")
+    print(f"{label}: {fid:.4f}  (n1={len(imgs1)}, n2={len(imgs2)})")
+
+    if args.inception_score:
+        import jax.numpy as jnp
+
+        from ..eval_utils import inception
+        from ..eval_utils.inception_score import inception_score
+
+        if args.inception_weights:
+            inc_params = inception.load_params(args.inception_weights)
+        else:
+            print("[warn] random-init classifier for IS — numbers meaningless",
+                  file=sys.stderr)
+            inc_params = inception.init_params(jax.random.PRNGKey(0))
+        clf = jax.jit(lambda x: jax.nn.softmax(
+            inception.logits(inc_params, x, resize_input=True), axis=-1))
+
+        def classifier(batch):
+            # IS feeds (-1,1) images (inception_score.py:12)
+            return np.asarray(clf(jnp.asarray(batch * 2.0 - 1.0, jnp.float32)))
+
+        mean, std = inception_score(imgs2, classifier, args.batch_size,
+                                    args.is_splits)
+        print(f"IS: {mean:.4f} +/- {std:.4f}  (n={len(imgs2)})")
     return 0
 
 

@@ -8,6 +8,14 @@ super-resolution pairs and pure text.
   python -m cogview_tpu.cli.preprocess --task text2image \
       --image-source imgs.zip --text-source captions.tsv \
       --img-tokenizer-path vqvae.pt --output data/mycorpus_t2i.bin
+
+``--task import-lmdb`` converts an existing reference LMDB corpus
+(pickled rows + 'length' key, preprocess_text_image_data.py:29-64) into
+an IndexedDataset usable as --dataset-type TokenizedDataset — no lmdb
+library needed (pure-Python reader, data/lmdb_io.py):
+
+  python -m cogview_tpu.cli.preprocess --task import-lmdb \
+      --lmdb-path /path/to/lmdb_env --output data/imported
 """
 
 from __future__ import annotations
@@ -20,7 +28,10 @@ import time
 def build_parser():
     p = argparse.ArgumentParser("cogview-tpu preprocess")
     p.add_argument("--task", default="text2image",
-                   choices=["text2image", "super-resolution", "text"])
+                   choices=["text2image", "super-resolution", "text",
+                            "import-lmdb"])
+    p.add_argument("--lmdb-path", default=None,
+                   help="LMDB environment dir (or data.mdb) for import-lmdb")
     p.add_argument("--image-source", default=None,
                    help="dir | .zip | .tar[.gz] | .h5 of images")
     p.add_argument("--text-source", default=None, help=".tsv or .json captions")
@@ -50,6 +61,29 @@ def main(argv=None) -> int:
     from ..tokenization.vq_tokenizer import JaxVQTokenizer
 
     t0 = time.time()
+    if args.task == "import-lmdb":
+        import numpy as np
+
+        from ..data.lmdb_io import LMDBCorpusReader
+
+        src = LMDBCorpusReader(args.lmdb_path or args.image_source)
+
+        def rows():
+            for i in range(len(src)):
+                row = src[i]
+                if isinstance(row, (tuple, list)) and len(row) == 2:
+                    # (text, code) pairs -> our TextCodeDataset layout
+                    text, code = (np.asarray(r).ravel() for r in row)
+                    yield np.concatenate([text, [-1], code])
+                else:
+                    yield np.asarray(row).ravel()
+
+        IndexedDataset.write(args.output, rows())
+        print(f"imported {len(src)} LMDB rows -> {args.output}.bin "
+              f"in {time.time()-t0:.1f}s")
+        src.close()
+        return 0
+
     if args.task == "text":
         tok = UnifiedTokenizer(text_model_path=args.text_model_path)
         with open(args.text_source or args.image_source, encoding="utf-8") as f:

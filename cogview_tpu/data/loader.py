@@ -207,12 +207,24 @@ def make_loaders(cfg: DataConfig, tokenizer):
 
 
 def detect_new_datasets(cfg: DataConfig, tokenizer, known_paths: set):
-    """Poll the training-data directory for new .bin corpora
-    (configure_data.py:293-310); returns a new train iterator or None."""
+    """Poll the training-data directory for new corpora
+    (configure_data.py:293-310); returns a new train iterator or None.
+
+    The polled pattern follows ``cfg.dataset_type``: CompactBinary
+    corpora are flat ``*.bin`` files; Tokenized/TextCode corpora are
+    IndexedDatasets addressed by base path (``<base>.bin`` +
+    ``<base>.idx.npy``)."""
     if not cfg.train_data:
         return None, known_paths
     base = os.path.dirname(cfg.train_data[0])
-    found = set(glob.glob(os.path.join(base, "*.bin")))
+    if cfg.dataset_type == "CompactBinaryDataset":
+        found = set(glob.glob(os.path.join(base, "*.bin")))
+    else:
+        found = {
+            p[: -len(".idx.npy")]
+            for p in glob.glob(os.path.join(base, "*.idx.npy"))
+            if os.path.exists(p[: -len(".idx.npy")] + ".bin")
+        }
     current = set(known_paths)
     if found - current:
         paths = sorted(current | found)

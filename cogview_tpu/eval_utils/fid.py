@@ -2,15 +2,18 @@
 (eval_utils/fid_score.py) with a pluggable feature extractor.
 
 The reference pulls pool3 features from torchvision's pretrained
-InceptionV3.  This environment has no torchvision / no pretrained weights,
-so the metric math (statistics + matrix-sqrt Frechet distance, exactly the
-published formula) is decoupled from the extractor:
+InceptionV3 — rebuilt in JAX in :mod:`.inception`.  Extractors:
 
-  * pass any callable ``images [n,h,w,3] float in [0,1] -> features [n,d]``
-    (e.g. a ported InceptionV3 — drop its weights in and wire it up);
-  * :class:`VQEncoderFeatures` offers an offline proxy using the VQ-VAE
-    encoder's pooled pre-quantization features.  Useful for relative
-    comparisons during development; NOT comparable to published FID numbers.
+  * :class:`InceptionFeatures` — the real thing: pool3 2048-d features
+    (reference fid_score.py:69); pass converted torchvision weights
+    (``inception.load_params(path)``) for published-comparable FID.
+    Pretrained weights are not shipped in this environment, so without a
+    weights file it falls back to random init (architecture exercised,
+    numbers NOT comparable — flagged in the constructor).
+  * :class:`VQEncoderFeatures` — offline proxy using the VQ-VAE encoder's
+    pooled pre-quantization features; relative comparisons only.
+
+or pass any callable ``images [n,h,w,3] float in [0,1] -> features [n,d]``.
 """
 
 from __future__ import annotations
@@ -67,6 +70,36 @@ def fid_from_images(
         return np.concatenate(out, axis=0)
 
     return fid_from_features(feats(images1), feats(images2))
+
+
+class InceptionFeatures:
+    """pool3 (2048-d) InceptionV3 features — the reference FID extractor
+    (fid_score.py:54-69 via inception.py block 3).
+
+    ``weights_path``: a torchvision ``inception_v3`` state-dict file; when
+    None, random init (architecture runs, FID numbers meaningless —
+    ``self.pretrained`` records which).
+    """
+
+    def __init__(self, weights_path=None, params=None):
+        import jax
+
+        from . import inception
+
+        if params is not None:
+            self.pretrained = True
+        elif weights_path is not None:
+            params = inception.load_params(weights_path)
+            self.pretrained = True
+        else:
+            params = inception.init_params(jax.random.PRNGKey(0), with_fc=False)
+            self.pretrained = False
+        self._fn = jax.jit(lambda imgs: inception.pool3_features(params, imgs))
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self._fn(jnp.asarray(images, jnp.float32)))
 
 
 class VQEncoderFeatures:

@@ -109,6 +109,28 @@ def test_make_loaders_split_and_oversample(tok, tmp_path):
     assert val is not None and test is not None
 
 
+@needs_model
+def test_detect_new_indexed_datasets(tok, tmp_path):
+    """IndexedDataset corpora (base.bin + base.idx.npy) are detected by
+    base path when dataset_type is TokenizedDataset (r1 VERDICT: polling
+    only *.bin silently ignored them)."""
+    from cogview_tpu.data.loader import detect_new_datasets
+
+    rows = [np.random.RandomState(i).randint(0, 5000, 40 + i) for i in range(24)]
+    base1 = str(tmp_path / "corpus_a")
+    IndexedDataset.write(base1, rows)
+    cfg = DataConfig(train_data=(base1,), dataset_type="TokenizedDataset",
+                     batch_size=2, split=(1.0, 0, 0), max_len=64)
+    it, known = detect_new_datasets(cfg, tok, {base1})
+    assert it is None  # nothing new yet
+    base2 = str(tmp_path / "corpus_b")
+    IndexedDataset.write(base2, rows[:8])
+    it, known = detect_new_datasets(cfg, tok, known)
+    assert it is not None and base2 in known
+    batch = next(iter(it))
+    assert batch["text"].shape == (2, 64)
+
+
 def test_dual_segment_position_ids():
     roi2 = 99
     tokens = np.asarray([[1, 2, roi2, 5, 6], [roi2, 1, 2, 3, 4]])
