@@ -135,6 +135,9 @@ def load_model(args):
         if params is None:
             params = load_gpt_checkpoint(args.load, cfg.num_layers, cfg.num_heads)
         params = jax.tree.map(jnp.asarray, params)
+        # 1089-pos base checkpoints serve the 1345-pos SR preset by tiling
+        # the table (reference utils.py:283-287)
+        params = gpt.adapt_position_embeddings(params, cfg)
     else:
         print("[warn] no --load: random-initialized model", file=sys.stderr)
         # init directly in compute dtype: a 4B fp32 init would need 16GB

@@ -225,9 +225,17 @@ def main(argv=None) -> int:
             if args.fp16:
                 target["loss_scale"] = jax.tree.map(np.asarray,
                                                     state["loss_scale"]._asdict())
-            loaded = checkpointing.load_latest(args.load, target=target)
+            try:
+                loaded = checkpointing.load_latest(args.load, target=target)
+            except Exception:
+                # shape/structure mismatch (e.g. a 1089-pos base checkpoint
+                # loaded into the 1345-pos SR preset for --finetune):
+                # restore untyped, then adapt below
+                loaded = checkpointing.load_latest(args.load, target=None)
             if loaded is not None:
-                state["params"] = jax.tree.map(jnp.asarray, loaded["params"])
+                loaded["params"] = gpt.adapt_position_embeddings(
+                    jax.tree.map(jnp.asarray, loaded["params"]), cfg)
+                state["params"] = loaded["params"]
                 if not args.finetune and "opt_state" in loaded:
                     state["opt_state"] = jax.tree.map(jnp.asarray, loaded["opt_state"])
                     iteration = int(loaded.get("iteration", 0))

@@ -13,9 +13,12 @@ log-prob accumulation.
 Semantics preserved from the reference:
   * ``-1`` slots are sampled; non-negative entries are forced
     (sampling.py:71-73, 130-140);
-  * vocabulary masking switches when the template *contains* [BOI1/2] (only
-    image codes) or [EOI1/2] (only text tokens) at or before the slot
-    (sampling.py:85-96, 119-124); the initial mode forbids image codes;
+  * vocabulary masking switches on [BOI1/2] (-> only image codes) and
+    [EOI1/2] (-> only text tokens) whether the trigger token is a fixed
+    template token (sampling.py:85-96) or a *generated* one
+    (sampling.py:119-124): the mode is tracked per row at runtime inside
+    the loop, seeded from the template's fixed prefix; the initial mode
+    forbids image codes;
   * position ids restart after an [ROI2] marker: ids greater than the
     marker index are shifted down by it (sampling.py:127, 143-144 — note
     this differs from the training-side dual-segment rule which assigns 0
@@ -70,10 +73,14 @@ class Template:
 
     tokens: np.ndarray  # [S] or [B, S] int32, -1 slots zeroed
     is_fixed: np.ndarray  # [S] bool
-    mask_id: np.ndarray  # [S] int32 in {0,1,2}
+    mask_id: np.ndarray  # [S] int32 in {0,1,2}  (fixed-token modes)
     position_ids: np.ndarray  # [S] int32
     context_length: int
     mask_table: np.ndarray  # [3, V] bool  (True = allowed)
+    boi_ids: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.full(2, -1, np.int32))  # [BOI1],[BOI2]
+    eoi_ids: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.full(2, -1, np.int32))  # [EOI1],[EOI2]
 
     @property
     def length(self) -> int:
@@ -114,6 +121,8 @@ def compile_template_batch(
         first.position_ids,
         first.context_length,
         first.mask_table,
+        first.boi_ids,
+        first.eoi_ids,
     )
 
 
@@ -173,7 +182,11 @@ def compile_template(
         tokenizer.img_tokenizer.num_tokens, tokenizer.txt_tokenizer.num_tokens,
         padded_vocab,
     )
-    return Template(tokens, is_fixed, mask_id, position_ids, context_length, table)
+    return Template(
+        tokens, is_fixed, mask_id, position_ids, context_length, table,
+        np.asarray([tokenizer["[BOI1]"], tokenizer["[BOI2]"]], np.int32),
+        np.asarray([tokenizer["[EOI1]"], tokenizer["[EOI2]"]], np.int32),
+    )
 
 
 # --------------------------------------------------------------------- #
@@ -257,6 +270,8 @@ def _filling_sequence_jit(
     mask_id: jax.Array,  # [S]
     position_ids: jax.Array,  # [S]
     mask_table: jax.Array,  # [3, V] bool
+    boi_ids: jax.Array,  # [2] int32 ([BOI1],[BOI2]; -1 = disabled)
+    eoi_ids: jax.Array,  # [2] int32
     rng: jax.Array,
     batch_size: int,
     context_length: int,
@@ -279,14 +294,27 @@ def _filling_sequence_jit(
     )
     last_logits = logits_ctx[:, -1]  # [B, V]
 
+    def mode_after(tok, cur_mode):
+        """Runtime mode transitions (sampling.py:119-124): a BOI/EOI token
+        switches every later slot's vocabulary mask, whether the token was
+        fixed or sampled."""
+        is_boi = jnp.any(tok[:, None] == boi_ids[None, :], axis=-1)
+        is_eoi = jnp.any(tok[:, None] == eoi_ids[None, :], axis=-1)
+        return jnp.where(is_boi, MODE_IMAGE,
+                         jnp.where(is_eoi, MODE_TEXT, cur_mode)).astype(jnp.int32)
+
+    # mode entering the first generated step = the template's fixed-prefix
+    # mode (mask_id[t] records the mode after fixed token t)
+    mode0 = jnp.broadcast_to(mask_id[max(ctx - 1, 0)], (B,)).astype(jnp.int32)
+
     def step(t, state):
-        tokens, cache, last_logits, scores, rng = state
+        tokens, cache, last_logits, scores, cur_mode, rng = state
         fixed = is_fixed[t]
         tpl_tok = tokens[:, t]  # already template-filled at fixed slots
 
         filtered = last_logits / temperature
-        allowed = mask_table[mask_id[t]]
-        filtered = jnp.where(allowed[None, :], filtered, NEG_INF)
+        allowed = mask_table[cur_mode]  # [B, V] per-row runtime mode
+        filtered = jnp.where(allowed, filtered, NEG_INF)
         filtered = apply_top_k(filtered, top_k)
         filtered = apply_top_p(filtered, top_p)
 
@@ -300,17 +328,18 @@ def _filling_sequence_jit(
         tok_t = jnp.where(fixed, tpl_tok, sampled).astype(jnp.int32)  # [B]
         scores = scores + jnp.where(fixed, 0.0, samp_score)
         tokens = lax.dynamic_update_slice(tokens, tok_t[:, None], (0, t))
+        cur_mode = mode_after(tok_t, cur_mode)
 
         step_logits, cache = gpt.forward_with_cache(
             params, cfg, tok_t[:, None],
             lax.dynamic_slice(pos, (0, t), (B, 1)),
             cache, t,
         )
-        return tokens, cache, step_logits[:, 0], scores, rng
+        return tokens, cache, step_logits[:, 0], scores, cur_mode, rng
 
     scores = jnp.zeros((B,), jnp.float32)
-    state = (tokens, cache, last_logits, scores, rng)
-    tokens, cache, last_logits, scores, rng = lax.fori_loop(ctx, S, step, state)
+    state = (tokens, cache, last_logits, scores, mode0, rng)
+    tokens, cache, last_logits, scores, _, rng = lax.fori_loop(ctx, S, step, state)
     return tokens, scores
 
 
@@ -350,6 +379,8 @@ def filling_sequence(
         jnp.asarray(template.mask_id),
         jnp.asarray(template.position_ids),
         jnp.asarray(template.mask_table),
+        jnp.asarray(template.boi_ids),
+        jnp.asarray(template.eoi_ids),
         rng,
         batch_size,
         int(template.context_length),

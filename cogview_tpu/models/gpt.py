@@ -91,6 +91,36 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def extend_position_embedding(weight: jax.Array, length: int) -> jax.Array:
+    """Grow a position-embedding table [P, H] to [length, H] by tiling it
+    (reference utils.py:283-287 — ``expand(length//P).reshape``).  The
+    reference asserts divisibility; for the 1089 -> 1345 SR extension
+    the tail is the tiling truncated to length (rows P..length-1 reuse
+    rows 0..length-P-1), which generalizes the same scheme.
+    """
+    P = weight.shape[0]
+    if length <= P:
+        return weight[:length]
+    reps = -(-length // P)
+    return jnp.concatenate([weight] * reps, axis=0)[:length]
+
+
+def adapt_position_embeddings(params: Params, cfg: GPTConfig) -> Params:
+    """Fit loaded params to ``cfg.max_position_embeddings``: extend a
+    shorter table (1089-pos base checkpoint into the 1345-pos SR preset,
+    scripts/super_resolution.sh:8) or truncate a longer one.  No-op when
+    the lengths already match."""
+    pos = params["embed"]["pos"]
+    target = cfg.max_position_embeddings
+    if pos.shape[0] == target:
+        return params
+    new_pos = extend_position_embedding(jnp.asarray(pos), target)
+    return {
+        **params,
+        "embed": {**params["embed"], "pos": new_pos.astype(pos.dtype)},
+    }
+
+
 # --------------------------------------------------------------------- #
 # KV cache
 # --------------------------------------------------------------------- #
@@ -147,6 +177,7 @@ def _layer_body(
     layer_idx: Optional[jax.Array] = None,  # which cache layer to touch
     sparse: Optional["SparseSpec"] = None,
     sep_for_flash: Optional[int] = None,  # static sep when mask is causal+sep
+    mem: Optional[jax.Array] = None,  # [B, M, H] rolling hidden-state memory
 ):
     B, S, H = h.shape
     N, D = cfg.num_heads, cfg.head_dim
@@ -166,6 +197,24 @@ def _layer_body(
     q = qkv[:, :, 0].reshape(B, S, N, D)
     k = qkv[:, :, 1].reshape(B, S, N, D)
     v = qkv[:, :, 2].reshape(B, S, N, D)
+
+    if mem is not None:
+        # transformer-XL-style mems (sparse_transformer.py:314-321,130-141):
+        # the memory is LN'd with this layer's input LN, projected by the
+        # same QKV weights, and contributes keys/values only (queries come
+        # from the current segment; the reference computes QKV over the
+        # concatenation and drops the mem queries)
+        lnm = layer_norm(mem.astype(cdt), p["ln_in"]["g"], p["ln_in"]["b"],
+                         eps, cfg.pb_relax)
+        qkv_m = (
+            jnp.einsum("bsh,hcj->bscj", lnm, p["qkv"]["w"].astype(cdt),
+                       preferred_element_type=jnp.float32,
+                       precision=dot_precision(lnm))
+            + p["qkv"]["b"].astype(jnp.float32)
+        ).astype(cdt)
+        M = mem.shape[1]
+        k = jnp.concatenate([qkv_m[:, :, 1].reshape(B, M, N, D), k], axis=1)
+        v = jnp.concatenate([qkv_m[:, :, 2].reshape(B, M, N, D), v], axis=1)
 
     new_kv = None
     if kv is not None:
@@ -303,6 +352,89 @@ def forward(
 
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
     return _logits(params, cfg, h)
+
+
+def update_mems(hiddens: jax.Array, mems: Optional[jax.Array],
+                max_memory_length: int) -> jax.Array:
+    """Rolling detached memory window (sparse_transformer.py:615-626).
+
+    hiddens: [L+1, B, S, H] this segment's layer inputs (embedding output +
+    every layer output); mems: [L+1, B, M, H] or None.  Returns the new
+    [L+1, B, M', H] with M' = min(max_memory_length, M + S), static.
+    """
+    S = hiddens.shape[2]
+    M = 0 if mems is None else mems.shape[2]
+    new_len = min(max_memory_length, M + S)
+    if new_len <= S:
+        out = hiddens[:, :, S - new_len:]
+    else:
+        out = jnp.concatenate([mems[:, :, M - (new_len - S):], hiddens], axis=2)
+    return jax.lax.stop_gradient(out)
+
+
+def forward_with_mems(
+    params: Params,
+    cfg: GPTConfig,
+    tokens: jax.Array,  # [B, S]
+    mems: Optional[jax.Array] = None,  # [L+1, B, M, H] from the prior segment
+    *,
+    max_memory_length: int,
+    position_ids: Optional[jax.Array] = None,
+    sep: int = 0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    remat: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Training-time transformer-XL mems (``max_memory_length > 0``,
+    sparse_transformer.py:471-626): every memory position is visible to
+    every query (build_mask_matrix gives the leading M keys to all rows),
+    keys/values extend over LN(mem) ++ LN(h), and the returned mems are
+    the detached rolling window of this segment's layer inputs.
+
+    mems entry i feeds layer i; entry 0 is the post-embedding hidden state,
+    entry L (the final layer's output) rides along exactly as in the
+    reference (returned, never consumed).  -> (logits [B,S,V] fp32,
+    new_mems [L+1, B, M', H]).
+    """
+    B, S = tokens.shape
+    L = cfg.num_layers
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    M = 0 if mems is None else mems.shape[2]
+    mask = causal_mask(S, sk=M + S, sep=sep)
+
+    if rng is not None:
+        rng, r_embed = jax.random.split(rng)
+        layer_rngs = jax.random.split(rng, L)
+    else:
+        r_embed = None
+        layer_rngs = jnp.zeros((L, 2), jnp.uint32)
+
+    h = _embed(params, cfg, tokens, position_ids, r_embed, train)
+    layer_mems = None if mems is None else mems[:L]
+
+    def body(h, xs):
+        if mems is None:
+            p, r = xs
+            mem_i = None
+        else:
+            p, r, mem_i = xs
+        r = r if (train and rng is not None) else None
+        h_out, _ = _layer_body(cfg, h, p, mask, r, train, mem=mem_i)
+        return h_out, h_out
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    xs = (params["layers"], layer_rngs) if mems is None else (
+        params["layers"], layer_rngs, layer_mems)
+    h_final, layer_outs = lax.scan(body, h, xs)
+
+    hiddens = jnp.concatenate([h[None], layer_outs], axis=0)  # [L+1,B,S,H]
+    new_mems = update_mems(hiddens, mems, max_memory_length)
+
+    out = layer_norm(h_final, params["ln_final"]["g"], params["ln_final"]["b"],
+                     cfg.layernorm_epsilon, cfg.pb_relax)
+    return _logits(params, cfg, out), new_mems
 
 
 def forward_with_cache(

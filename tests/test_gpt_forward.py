@@ -170,6 +170,72 @@ def test_model_parallel_equivalence(params, batch, eight_devices):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+def test_training_mems_match_reference(params):
+    """max_memory_length > 0 across two segments: logits and the rolling
+    detached memory window bit-track the torch oracle
+    (sparse_transformer.py:471-626).  Segment 2 attends over LN(mem)
+    keys/values with full memory visibility."""
+    max_mem = 16
+    oracle_m = make_reference_gpt(
+        num_layers=CFG.num_layers, vocab=CFG.vocab_size, hidden=CFG.hidden_size,
+        heads=CFG.num_heads, max_seq=64, max_memory_length=max_mem,
+    )
+    # torch.manual_seed(0) inside the factory -> identical weights to the
+    # `params` fixture's source oracle
+    rng = np.random.RandomState(7)
+    t1 = rng.randint(0, CFG.vocab_size, size=(2, 12)).astype(np.int32)
+    t2 = rng.randint(0, CFG.vocab_size, size=(2, 12)).astype(np.int32)
+
+    def opos(start, n):
+        return torch.arange(start, start + n).unsqueeze(0).expand(2, -1)
+
+    with torch.no_grad():
+        out1 = oracle_m(torch.from_numpy(t1).long(), opos(0, 12), 0, None, None, 0)
+        ref_l1, ref_mems1 = out1[0].numpy(), list(out1[1:])
+        out2 = oracle_m(torch.from_numpy(t2).long(), opos(12, 12), 0, None,
+                        None, 0, *ref_mems1)
+        ref_l2, ref_mems2 = out2[0].numpy(), list(out2[1:])
+
+    l1, mems1 = gpt.forward_with_mems(params, CFG, jnp.asarray(t1),
+                                      max_memory_length=max_mem)
+    pos2 = jnp.broadcast_to(jnp.arange(12, 24, dtype=jnp.int32), (2, 12))
+    l2, mems2 = gpt.forward_with_mems(params, CFG, jnp.asarray(t2), mems1,
+                                      position_ids=pos2,
+                                      max_memory_length=max_mem)
+
+    np.testing.assert_allclose(np.asarray(l1), ref_l1, atol=2e-4, rtol=1e-4)
+    assert mems1.shape == (CFG.num_layers + 1, 2, 12, CFG.hidden_size)
+    for i, rm in enumerate(ref_mems1):
+        np.testing.assert_allclose(np.asarray(mems1[i]), rm.numpy(),
+                                   atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(l2), ref_l2, atol=2e-4, rtol=1e-4)
+    # rolling window capped at max_mem: 12 + 12 -> 16
+    assert mems2.shape == (CFG.num_layers + 1, 2, max_mem, CFG.hidden_size)
+    for i, rm in enumerate(ref_mems2):
+        np.testing.assert_allclose(np.asarray(mems2[i]), rm.numpy(),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_mems_gradients_stop_at_window():
+    """new_mems are detached (reference update_mems runs under no_grad):
+    no gradient flows from segment-2 loss into segment-1 activations via
+    the memory, but parameters still get segment-2 gradients."""
+    cfg = tiny_test(num_heads=4, max_position_embeddings=64)
+    p = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    t1 = jnp.asarray(np.random.RandomState(0).randint(0, cfg.vocab_size, (1, 8)))
+    t2 = jnp.asarray(np.random.RandomState(1).randint(0, cfg.vocab_size, (1, 8)))
+
+    def loss(params):
+        _, mems = gpt.forward_with_mems(params, cfg, t1, max_memory_length=8)
+        logits, _ = gpt.forward_with_mems(params, cfg, t2, mems,
+                                          max_memory_length=8)
+        return jnp.sum(logits ** 2)
+
+    g = jax.grad(loss)(p)
+    assert np.isfinite(np.asarray(g["embed"]["word"])).all()
+    assert float(jnp.abs(g["embed"]["word"]).max()) > 0
+
+
 def test_vocab_padding_helper():
     from cogview_tpu.config import pad_vocab_size
 

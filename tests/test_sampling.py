@@ -166,3 +166,48 @@ def test_greedy_matches_stepwise_forward(tok, params):
         lg[~tpl.mask_table[tpl.mask_id[t]]] = -1e9
         cur.append(int(lg.argmax()))
     np.testing.assert_array_equal(tokens, np.asarray(cur))
+
+
+def test_generated_boi_switches_mode(tok, params):
+    """A *sampled* [BOI1] must flip later slots to image-code mode
+    (reference sampling.py:119-124) — r1 derived modes only from fixed
+    template tokens.  Rig the DEFAULT-mode mask to allow only [BOI1], so
+    the first generated slot necessarily samples it; the following slots
+    must then be image codes."""
+    import dataclasses as dc
+
+    seq = [tok["[ROI1]"], 40, 50] + [-1] * 6
+    tpl = compile_template(seq, tok, padded_vocab=CFG.vocab_size)
+    table = tpl.mask_table.copy()
+    table[0, :] = False
+    table[0, tok["[BOI1]"]] = True  # DEFAULT mode can only emit [BOI1]
+    tpl = dc.replace(tpl, mask_table=table)
+
+    tokens, _ = filling_sequence(
+        params, CFG, tpl, batch_size=2, sampling=SamplingParams(top_k=0, seed=3)
+    )
+    tokens = np.asarray(tokens)
+    assert (tokens[:, 3] == tok["[BOI1]"]).all()  # forced by the rig
+    gen = tokens[:, 4:]
+    assert (gen >= 0).all() and (gen < 32).all(), gen  # image codes only
+
+
+def test_generated_eoi_switches_to_text(tok, params):
+    """Same rig for [EOI1] -> text-only mode."""
+    import dataclasses as dc
+
+    seq = [tok["[BASE]"], tok["[BOI1]"], 3, 4] + [-1] * 5
+    tpl = compile_template(seq, tok, padded_vocab=CFG.vocab_size)
+    table = tpl.mask_table.copy()
+    table[1, :] = False
+    table[1, tok["[EOI1]"]] = True  # IMAGE mode can only emit [EOI1]
+    tpl = dc.replace(tpl, mask_table=table)
+
+    tokens, _ = filling_sequence(
+        params, CFG, tpl, batch_size=2, sampling=SamplingParams(top_k=0, seed=4)
+    )
+    tokens = np.asarray(tokens)
+    assert (tokens[:, 4] == tok["[EOI1]"]).all()
+    gen = tokens[:, 5:]
+    # text range: [img_vocab, img_vocab + txt_vocab)
+    assert (gen >= 32).all() and (gen < 32 + 64).all(), gen
