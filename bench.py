@@ -2,19 +2,27 @@
 
 One image = a 1024-token autoregressive decode of the flagship model
 (cogview-base scale: 48L x 2560H x 40 heads, vocab 58240, seq 1089) through
-the jitted KV-cached template sampler, batch 8 (the reference script uses
-batch 4, scripts/text2image.sh:46-48; 8 amortizes the HBM weight reads
-further and fits alongside the 4.3GB flat KV cache).  Weights are random
-bf16 — throughput is weight-value-independent.
-Measured r1: batch 4 -> 0.20 img/s (8.1x), batch 8 -> 0.30 img/s (12.2x).
+the jitted KV-cached template sampler.  Default config: batch 24 over the
+int8 KV cache (fused Pallas decode kernel, ops/decode_attention.py); the
+reference script uses batch 4 (scripts/text2image.sh:46-48).  Weights are
+random bf16 — throughput is weight-value-independent.
+
+Roofline (v5e: 16GB HBM, ~750GB/s measured streaming BW): every decode step
+must read the 7.86GB bf16 weights (~10.5ms) plus each image's int8 KV cache
+(48L x 2560H x 1152Tp x 2 = 268MB + 34MB scales, ~0.40ms/image), so
+step(B) ~= 10.5ms + 0.48ms*B and img/s = B/(1024*step).  Measured r2
+decode-loop microbench: B8 15.4ms, B16 19.3ms, B24 23.1ms (1.01 img/s) —
+at the roofline; B32 exceeds HBM (weights 7.9 + caches 9.0GB).
+History r1 (bf16 cache, XLA attention): batch 8 -> 0.30 img/s.
 
 Baseline for vs_baseline: the reference on a V100 decodes the same 4B model
 with NO KV cache (full-prefix QKV recompute per token,
 mpu/sparse_transformer.py:130-141) in fp16 at batch 4.  No number is
-published in-repo (BASELINE.md), so we use an estimated 0.025 images/sec
-(~40 s/image at batch 4, consistent with the per-token recompute cost and
-the readme's "runs slow" guidance).  The >=10x target from BASELINE.json
-therefore corresponds to vs_baseline >= 10.
+published in-repo (BASELINE.md); an analytic bound: the recompute makes one
+image cost sum_t 2*4e9*t FLOPs ~= 4.7e15 FLOPs, i.e. >=42s/image at 100%
+of the V100's 112 TFLOP/s fp16 peak — so 0.025 images/sec (40s/img) is the
+OPTIMISTIC ceiling for the reference, not a guess against it.  The >=10x
+target from BASELINE.json therefore corresponds to vs_baseline >= 10.
 
 Env overrides: COGVIEW_BENCH_PRESET=tiny|tutorial|base (default base on
 accelerators, tiny on cpu), COGVIEW_BENCH_BATCH, COGVIEW_BENCH_REPS, and
@@ -37,6 +45,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from cogview_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 V100_BASELINE_IMAGES_PER_SEC = 0.025  # estimated; see module docstring
 
@@ -219,7 +231,10 @@ def main():
             raise ValueError(mode)
         print(json.dumps(result))
         return
-    batch = int(os.environ.get("COGVIEW_BENCH_BATCH", "8"))
+    kv = os.environ.get("COGVIEW_BENCH_KV", "int8")
+    cfg = cfg.replace(kv_cache_dtype=kv)
+    default_batch = "24" if kv == "int8" else "8"
+    batch = int(os.environ.get("COGVIEW_BENCH_BATCH", default_batch))
     reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
 
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -256,6 +271,7 @@ def main():
         "extra": {
             "preset": preset,
             "batch": batch,
+            "kv_cache": kv,
             "reps": reps,
             "image_tokens_per_sec": round(tokens_per_sec, 1),
             "seconds_per_image": round(1.0 / images_per_sec, 3),

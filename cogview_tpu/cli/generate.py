@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--text-model-path", default=None,
                    help="SentencePiece cog-pretrain.model path")
     m.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    m.add_argument("--kv-cache", default="int8", choices=["int8", "bfloat16"],
+                   help="decode KV cache: int8 (fused Pallas kernel, ~2x "
+                        "decode batch per chip) or bfloat16 (exact)")
 
     s = p.add_argument_group("sampling")
     s.add_argument("--batch-size", type=int, default=4,
@@ -125,7 +128,9 @@ def load_model(args):
 
     cfg: GPTConfig = PRESETS[args.preset]()
     cfg = cfg.replace(
-        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        kv_cache_dtype={"int8": "int8", "bfloat16": "bfloat16"}[
+            getattr(args, "kv_cache", "int8")],
     )
     if args.load:
         from ..models.convert import load_gpt_checkpoint
@@ -160,6 +165,8 @@ def build_tokenizer(args, n_img: int = 8192) -> UnifiedTokenizer:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     params, cfg = load_model(args)
     tokenizer = build_tokenizer(args)
     sampling = SamplingParams(

@@ -152,6 +152,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
 
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.multihost:
         # pod runtime discovers coordinator/topology itself — the analog of
         # the reference's hostfile/ssh/NCCL-env machinery is one call

@@ -113,6 +113,8 @@ def watch_folder(input_folder: str, process, time_interval: float = 10.0,
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from ..utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     params, cfg = load_model(args)
     tokenizer = build_tokenizer(args)
     sampling = SamplingParams(temperature=args.temperature, top_k=args.top_k,

@@ -44,13 +44,19 @@ class GPTConfig:
     query_window: int = 128
     key_window_times: int = 6
     num_pivot: int = 768
-    # flash (Pallas) attention for causal training/prefill paths; requires
-    # attention_dropout == 0 (no in-kernel prob dropout). Off by default:
-    # on the current runtime it matches XLA step time while saving the
-    # O(S^2) score memory — enable for memory-bound configs.
+    # flash (Pallas) attention for causal training/prefill paths, with
+    # in-kernel hash-PRNG attention dropout. Off by default: on the current
+    # runtime it matches XLA step time while saving the O(S^2) score
+    # memory — enable for memory-bound configs (bigger batch/seq).
     use_flash_attention: bool = False
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # autoregressive KV cache storage: "bfloat16" (exact, XLA attention) or
+    # "int8" (per-(head,token)-scaled, fused Pallas decode kernel — half the
+    # cache HBM traffic and footprint, so ~2x the decode batch per chip).
+    # int8 is single-chip only (the Pallas call is not SPMD-partitioned);
+    # sharded generation keeps bfloat16.
+    kv_cache_dtype: str = "bfloat16"
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

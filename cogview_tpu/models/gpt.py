@@ -37,7 +37,9 @@ from ..config import GPTConfig
 from ..ops.attention import causal_mask, decode_mask, dense_attention, dense_attention_kvT
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
-from ..ops.flash_attention import flash_attention
+from ..ops.decode_attention import (
+    decode_attention_quant, dequantize_kv, pad_cache_len, quantize_kv)
+from ..ops.flash_attention import flash_attention, seed_from_key
 from ..ops.sparse_attention import pivot_window_attention
 
 
@@ -136,7 +138,9 @@ class KVCache(NamedTuple):
       matmuls (it otherwise rewrites the cache into this layout itself,
       via layout-change copies at batch >= 10).  Note XLA's while-loop
       buffer compression still keeps ~2x one cache of headroom at the
-      prefill/loop boundary, which caps batch at 8 on a 16GB chip.
+      prefill/loop boundary, which caps batch at 8 on a 16GB chip —
+      ``kv_cache_dtype="int8"`` (QuantKVCache) halves that and lifts the
+      decode batch to 16+.
     """
 
     k: jax.Array  # [L, B, H, T]
@@ -147,9 +151,38 @@ class KVCache(NamedTuple):
         return self.k.shape[3]
 
 
-def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+class QuantKVCache(NamedTuple):
+    """int8 KV cache + per-(head, token) scales (cfg.kv_cache_dtype="int8").
+
+    Layout [L, B, N, D, Tp] (Tp = max_len padded to the kernel's 128-token
+    write window; Tp minor keeps the s8 tiles pad-free).  Decode attention
+    AND the per-step cache update run in the fused Pallas kernel
+    (ops/decode_attention.py): int8 blocks stream straight from HBM — half
+    the bytes of bf16, no XLA dequant materialization, no per-column
+    dynamic_update_slice tile churn."""
+
+    k: jax.Array  # [L, B, N, D, Tp] int8
+    v: jax.Array  # [L, B, N, D, Tp] int8
+    kscale: jax.Array  # [L, B, N, Tp] f32
+    vscale: jax.Array  # [L, B, N, Tp] f32
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[4]
+
+
+def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
+    L, H, N, D = cfg.num_layers, cfg.hidden_size, cfg.num_heads, cfg.head_dim
+    if cfg.kv_cache_dtype == "int8":
+        Tp = pad_cache_len(max_len)
+        shape = (L, batch, N, D, Tp)
+        sshape = (L, batch, N, Tp)
+        return QuantKVCache(
+            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+            jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+        )
     dtype = dtype or cfg.compute_dtype
-    shape = (cfg.num_layers, batch, cfg.hidden_size, max_len)
+    shape = (L, batch, H, max_len)
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -217,7 +250,43 @@ def _layer_body(
         v = jnp.concatenate([qkv_m[:, :, 2].reshape(B, M, N, D), v], axis=1)
 
     new_kv = None
-    if kv is not None:
+    if kv is not None and len(kv) == 4:
+        # Quantized cache (cfg.kv_cache_dtype="int8"), layout [L,B,N,Tp,D].
+        # Decode (S==1): attention AND the cache update are one fused
+        # Pallas kernel — it quantizes this token's K/V, writes the
+        # 128-token window containing slot ``index`` back in place
+        # (donated buffers), and attends over past-quantized + current-
+        # exact keys.  The scalar-prefetch layer index selects the layer's
+        # blocks in HBM (no per-layer slice copies off the scan carry).
+        ck, cv, cks, cvs = kv
+        Tp = ck.shape[4]
+        if S == 1:
+            ctx, ck, cv, cks, cvs = decode_attention_quant(
+                q[:, 0], qkv[:, 0, 1].reshape(B, N, D),
+                qkv[:, 0, 2].reshape(B, N, D),
+                ck, cv, cks, cvs, layer_idx, index,
+            )
+            new_kv = (ck, cv, cks, cvs)
+            ctx = ctx.astype(cdt).reshape(B, 1, H)
+        else:
+            # prefill: quantize + chunked write + dense attention over the
+            # dequantized layer (one-time cost per sequence; attending to
+            # the quantized K/V keeps prefill and decode numerics close)
+            k8, ksc = quantize_kv(jnp.swapaxes(qkv[:, :, 1], 1, 2), N)
+            v8, vsc = quantize_kv(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
+            ck = lax.dynamic_update_slice(ck, k8[None], (layer_idx, 0, 0, 0, index))
+            cv = lax.dynamic_update_slice(cv, v8[None], (layer_idx, 0, 0, 0, index))
+            cks = lax.dynamic_update_slice(cks, ksc[None], (layer_idx, 0, 0, index))
+            cvs = lax.dynamic_update_slice(cvs, vsc[None], (layer_idx, 0, 0, index))
+            new_kv = (ck, cv, cks, cvs)
+            k_l = lax.dynamic_slice(ck, (layer_idx, 0, 0, 0, 0), (1, B, N, D, Tp))[0]
+            v_l = lax.dynamic_slice(cv, (layer_idx, 0, 0, 0, 0), (1, B, N, D, Tp))[0]
+            ks_l = lax.dynamic_slice(cks, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
+            vs_l = lax.dynamic_slice(cvs, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
+            kT = dequantize_kv(k_l, ks_l, cdt)  # [B, N, D, Tp]
+            vT = dequantize_kv(v_l, vs_l, cdt)
+            ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
+    elif kv is not None:
         # Full [L,B,H,T] caches thread through the layer scan as a carry:
         # one in-place dynamic_update_slice per layer (no xs->ys copies),
         # stored transposed so the in-loop matmuls keep one layout.
@@ -248,9 +317,14 @@ def _layer_body(
         cfg.use_flash_attention
         and kv is None
         and sep_for_flash is not None
-        and not (train and cfg.attention_dropout > 0.0)
     ):
-        ctx = flash_attention(q, k, v, sep_for_flash).reshape(B, S, H)
+        # attention-prob dropout runs inside the kernel (hash-PRNG seeded
+        # from this layer's attention key — ops/flash_attention.py)
+        rate = cfg.attention_dropout if (train and r_attn is not None) else 0.0
+        seed = seed_from_key(r_attn) if rate > 0.0 else None
+        ctx = flash_attention(
+            q, k, v, sep_for_flash, dropout_rate=rate, dropout_seed=seed,
+        ).reshape(B, S, H)
     else:
         ctx = dense_attention(
             q, k, v, mask,
@@ -459,16 +533,19 @@ def forward_with_cache(
 
     q_abs = index + jnp.arange(Q, dtype=jnp.int32)
     mask = decode_mask(jnp.broadcast_to(q_abs, (B, Q)), T)
+    quant = isinstance(cache, QuantKVCache)
 
     def body(carry, p):
-        h, ck, cv, li = carry
-        h, (ck, cv) = _layer_body(
-            cfg, h, p, mask, None, False, kv=(ck, cv), index=index, layer_idx=li
+        h, li = carry[0], carry[-1]
+        kv = carry[1:-1]
+        h, new_kv = _layer_body(
+            cfg, h, p, mask, None, False, kv=kv, index=index, layer_idx=li
         )
-        return (h, ck, cv, li + 1), None
+        return (h, *new_kv, li + 1), None
 
-    (h, new_k, new_v, _), _ = lax.scan(
-        body, (h, cache.k, cache.v, jnp.int32(0)), params["layers"]
-    )
+    init = (h, *cache, jnp.int32(0))
+    out, _ = lax.scan(body, init, params["layers"])
+    h, new_cache = out[0], out[1:-1]
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
-    return _logits(params, cfg, h), KVCache(new_k, new_v)
+    cache_cls = QuantKVCache if quant else KVCache
+    return _logits(params, cfg, h), cache_cls(*new_cache)

@@ -1,0 +1,241 @@
+"""Fused single-token decode attention over a quantized KV cache — Pallas.
+
+The hot loop of image generation is a 1024-step autoregressive decode whose
+per-step cost is pure HBM bandwidth: every step must stream the model
+weights plus the whole KV cache.  Three design decisions push this to the
+roofline on TPU (all three were measured as distinct multi-ms/step costs
+at cogview-base scale on v5e before being fused):
+
+* the cache is stored **int8** with per-(head, token) scales — half the
+  bf16 bytes, so a 16-image batch streams the same cache bytes as an
+  8-image bf16 batch;
+* dequantize + QK^T + mask + softmax + scale + PV run in **one kernel**,
+  upcasting int8 tiles in VMEM.  Left to XLA, the s8->f32 convert of the
+  cache is materialized in HBM at batch >= 16 (measured: 269 us per layer
+  per tensor — 26 ms/step of pure dequant traffic);
+* the **cache update happens inside the kernel** through
+  ``input_output_aliases``: each grid cell quantizes the current token's
+  K/V column and writes back one 128-token window with that column
+  replaced.  An XLA ``dynamic_update_slice`` of a single s8 column is a
+  read-modify-write of every (sublane x lane) tile the column crosses
+  (measured: 101 us per layer per tensor — 9.7 ms/step at batch 16); the
+  in-kernel windowed write is a small async DMA hidden by the grid
+  pipeline.  As a bonus the current token attends to its *exact* bf16
+  K/V (it is quantized only for later steps).
+
+Cache layout is [L, B, N, D, Tp] (Tp = T rounded up to the 128-token
+write window; scales [L, B, N, Tp] f32).  Tp as the MINOR dim is
+load-bearing: it is a 128-lane multiple, so the s8 tiles pack with zero
+padding — a [.., Tp, D=64] layout pads 64 lanes to 128 and DOUBLES the
+cache footprint (measured: 2.0x expansion plus giant per-iteration
+compress/decompress copies on the loop carry).  Both kernel matmuls are
+direct batched GEMMs over the head block with no in-kernel transposes;
+the stacked L dim keeps the model's ``lax.scan``
+over layers carrying one buffer, with the *current layer* selected by a
+scalar-prefetch argument feeding the BlockSpec index_maps, i.e. the DMA
+engine reads layer ``li``'s blocks straight from HBM (an XLA
+dynamic-slice of a scan carry would be a whole-layer HBM copy).
+
+Masking matches ops/attention.decode_mask: cached slot kpos is visible iff
+kpos < index, the current token is always visible to itself, and invisible
+logits are -10000 exactly (reference mpu/sparse_transformer.py:662-663 —
+they underflow to probability 0 after the f32 max subtraction).
+
+The grid is (B, N/head_block): one program streams one batch row's head
+block [hb, Tp, D] of K and V (int8, ~0.5 MB each at cogview-base), large
+enough DMA chunks to hit full HBM bandwidth while VMEM stays within budget
+under double buffering.
+
+Reference for the math being fused: generation-time ``is_sparse=0``
+attention (mpu/sparse_transformer.py:130-141, standard_attention :652-673);
+the KV cache itself replaces the reference's "mems" recompute.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -10000.0
+WRITE_WINDOW = 128  # token window written back per grid cell (lane-aligned)
+
+
+def pad_cache_len(max_len: int) -> int:
+    """Cache T is allocated in WRITE_WINDOW multiples so the write-back
+    window never crosses the array edge.  Padded slots are never visible
+    (kpos < index masking)."""
+    return -(-max_len // WRITE_WINDOW) * WRITE_WINDOW
+
+
+def pick_head_block(num_heads: int, head_dim: int, max_len: int) -> int:
+    """Largest divisor of num_heads keeping one int8 K/V block under a
+    conservative per-buffer budget (~1.5MB; x2 tensors x2 pipeline buffers
+    + scales ~= 7MB of VMEM).  Mosaic requires block dims divisible by the
+    tile shape unless they equal the array dim, so only multiples of 8 —
+    or the full head count — qualify."""
+    budget = 1536 * 1024
+    cands = [h for h in range(num_heads, 0, -1)
+             if num_heads % h == 0 and (h == num_heads or h % 8 == 0)]
+    for h in cands:
+        if h * head_dim * max_len <= budget:
+            return h
+    return cands[-1]
+
+
+def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   o_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, scale):
+    """One (batch row, head block).
+
+    s_ref (SMEM): [layer, index]; q/kc/vc [1,hb,D]; k/v [1,1,hb,D,Tp] int8;
+    ks/vs [1,1,hb,Tp] f32.  Outputs: o [1,hb,D] ctx; ko/vo [1,1,hb,D,W] and
+    kso/vso [1,1,hb,W] — the write-back window containing slot ``index``
+    (aliased onto the cache arrays)."""
+    index = s_ref[1]
+    q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
+    kc = kc_ref[0].astype(jnp.float32)  # [hb, D] current key column
+    vc = vc_ref[0].astype(jnp.float32)
+    hb, D = q.shape
+    Tp = k_ref.shape[4]
+    W = WRITE_WINDOW
+
+    # ---- quantize the current column (for FUTURE steps' reads) ----
+    # kept f32 until the windowed write: Mosaic only supports minor-dim
+    # broadcasts for 32-bit types
+    ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 127.0  # [hb]
+    vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 127.0
+    kq_new = jnp.round(kc / ks_new[:, None])  # [hb, D] f32 in [-127, 127]
+    vq_new = jnp.round(vc / vs_new[:, None])
+
+    # ---- attention: past (quantized) + current (exact bf16) ----
+    k = k_ref[0, 0].astype(jnp.float32)  # [hb, D, Tp]
+    s = lax.dot_general(
+        q[:, None, :], k, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # [hb, Tp]
+    s = s * ks_ref[0, 0]
+    kpos = lax.broadcasted_iota(jnp.int32, (hb, Tp), 1)
+    s = jnp.where(kpos < index, s, MASK_VALUE)
+    s_cur = jnp.sum(q * kc, axis=1)  # [hb] — the token sees itself exactly
+    m = jnp.maximum(jnp.max(s, axis=1), s_cur)  # [hb]
+    p = jnp.exp(s - m[:, None])  # [hb, Tp]
+    p_cur = jnp.exp(s_cur - m)  # [hb]
+    l = jnp.sum(p, axis=1) + p_cur
+    pv = p * vs_ref[0, 0]
+    v = v_ref[0, 0].astype(jnp.float32)  # [hb, D, Tp]
+    ctx = lax.dot_general(
+        pv[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # [hb, D]
+    ctx = (ctx + p_cur[:, None] * vc) / l[:, None]
+    o_ref[0] = ctx.astype(o_ref.dtype)
+
+    # ---- windowed cache write-back with the new column inserted ----
+    wstart = (index // W) * W
+    col = index - wstart
+    onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+    onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D, W), 2) == col
+    k_win = k_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
+    v_win = v_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
+    ko_ref[0, 0] = jnp.where(onehot3, kq_new[:, :, None], k_win).astype(jnp.int8)
+    vo_ref[0, 0] = jnp.where(onehot3, vq_new[:, :, None], v_win).astype(jnp.int8)
+    ks_win = ks_ref[0, 0, :, pl.ds(wstart, W)]  # [hb, W]
+    vs_win = vs_ref[0, 0, :, pl.ds(wstart, W)]
+    kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_win)
+    vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_win)
+
+
+def decode_attention_quant(
+    q: jax.Array,  # [B, N, D] current token's queries (compute dtype)
+    k_col: jax.Array,  # [B, N, D] current token's key (compute dtype)
+    v_col: jax.Array,  # [B, N, D] current token's value
+    k8: jax.Array,  # [L, B, N, D, Tp] int8 cache
+    v8: jax.Array,  # [L, B, N, D, Tp] int8
+    kscale: jax.Array,  # [L, B, N, Tp] f32
+    vscale: jax.Array,  # [L, B, N, Tp] f32
+    layer_idx: jax.Array,  # scalar int32
+    index: jax.Array,  # scalar int32: current absolute position
+    *,
+    head_block: int | None = None,
+    interpret: bool = False,
+):
+    """-> (ctx [B, N, D] in q.dtype, k8', v8', kscale', vscale').
+
+    The cache arrays are donated (input_output_aliases); layer ``layer_idx``
+    gets slot ``index`` updated with the quantized (k_col, v_col).  Falls
+    back to interpret mode on CPU."""
+    B, N, D = q.shape
+    L, _, _, _, Tp = k8.shape
+    assert k8.shape == (L, B, N, D, Tp) and kscale.shape == (L, B, N, Tp)
+    assert Tp % WRITE_WINDOW == 0, "allocate the cache via pad_cache_len"
+    scale = 1.0 / math.sqrt(D)
+    hb = head_block or pick_head_block(N, D, Tp)
+    assert N % hb == 0
+    if not interpret:
+        interpret = jax.default_backend() == "cpu"
+
+    W = WRITE_WINDOW
+    scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                         jnp.asarray(index, jnp.int32)])
+    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, s: (b, h, 0))
+    cache_spec = pl.BlockSpec(
+        (1, 1, hb, D, Tp), lambda b, h, s: (s[0], b, h, 0, 0))
+    scale_spec = pl.BlockSpec(
+        (1, 1, hb, Tp), lambda b, h, s: (s[0], b, h, 0))
+    win_spec = pl.BlockSpec(
+        (1, 1, hb, D, W), lambda b, h, s: (s[0], b, h, 0, s[1] // W))
+    swin_spec = pl.BlockSpec(
+        (1, 1, hb, W), lambda b, h, s: (s[0], b, h, s[1] // W))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N // hb),
+        in_specs=[col_spec, col_spec, col_spec,
+                  cache_spec, cache_spec, scale_spec, scale_spec],
+        out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        jax.ShapeDtypeStruct(k8.shape, jnp.int8),
+        jax.ShapeDtypeStruct(v8.shape, jnp.int8),
+        jax.ShapeDtypeStruct(kscale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(vscale.shape, jnp.float32),
+    ]
+    # tensor input i (after the scalar-prefetch arg) aliases output slot:
+    # k8 -> 1, v8 -> 2, kscale -> 3, vscale -> 4
+    aliases = {4: 1, 5: 2, 6: 3, 7: 4}
+    ctx, k8, v8, kscale, vscale = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(scalars, q, k_col, v_col, k8, v8, kscale, vscale)
+    return ctx, k8, v8, kscale, vscale
+
+
+def quantize_kv(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]:
+    """Per-(head, token) absmax int8 quantization of K or V columns
+    (prefill path; the decode loop quantizes in-kernel).
+
+    cols: [B, H, S] -> (int8 [B, N, D, S], scales f32 [B, N, S]) in the
+    cache's [.., N, D, T] orientation.  Scales carry the 1/127 factor so
+    dequantization is a single multiply.
+    """
+    B, H, S = cols.shape
+    D = H // num_heads
+    c = cols.reshape(B, num_heads, D, S).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(c), axis=2), 1e-8) / 127.0  # [B, N, S]
+    q = jnp.round(c / s[:, :, None, :])
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    return q, s  # [B, N, D, S]
+
+
+def dequantize_kv(q8: jax.Array, scales: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, N, D, T] int8 + [B, N, T] scales -> [B, N, D, T] floats (prefill
+    path / tests)."""
+    return (q8.astype(jnp.float32) * scales[:, :, None, :]).astype(dtype)

@@ -12,15 +12,25 @@ Masking preserves the reference semantics exactly: invalid logits are
 causal with an optional bidirectional prefix ``sep``
 (build_mask_matrix, :482-489).
 
+Attention-probability dropout (the reference's ``attention_dropout``,
+sparse_transformer.py:672) runs *inside* the kernel: the keep mask for
+score element (b, n, qpos, kpos) is a counter-based hash of its global
+coordinates and a per-call seed, so it is independent of the block
+partitioning, bit-reproducible between the forward and the two backward
+passes, and costs a handful of VPU integer ops per element instead of a
+[B,N,S,S] HBM mask tensor.  (pltpu.prng_random_bits is not used: the
+Pallas interpreter stubs it out to zeros, and a hash of global coordinates
+is what makes fwd/bwd agree without storing anything.)  The same hash is
+exposed as ``dropout_keep_reference`` so tests can reproduce the exact
+mask in a dense XLA computation.
+
 Layout: [B, S, N, D]; wrapper pads S up to the q/k block size.  All
 compute fp32 inside the kernel regardless of input dtype.
 
 Measured on the target v5e chip (B8/N16/S1088/D64, bf16): fwd+bwd 135 ms
 vs 127 ms for XLA dense — throughput parity, with the [B,N,S,S] HBM score
 tensor eliminated (the win is peak-memory/batch-size headroom, not step
-time, on this runtime).  Enable per-config via GPTConfig.use_flash_attention;
-attention-prob dropout is not supported inside the kernel, so it applies
-only when attention_dropout == 0.
+time, on this runtime).  Enable per-config via GPTConfig.use_flash_attention.
 """
 
 from __future__ import annotations
@@ -47,12 +57,69 @@ def _causal_block_mask(qi, kb, bq, bk, sep, s_actual):
 
 
 # --------------------------------------------------------------------- #
+# in-kernel dropout: counter-based hash over global coordinates
+# --------------------------------------------------------------------- #
+
+
+def _hash_keep(qpos, kpos, bn, seed, threshold):
+    """Keep mask from a murmur-style finalizer over the element's global
+    coordinates.  qpos/kpos: uint32 arrays (broadcast-compatible); bn:
+    uint32 scalar (b * num_heads + n); seed: uint32 scalar; threshold:
+    uint32 scalar = round(rate * 2^32).  keep <=> hash >= threshold, so
+    P(drop) = rate for a uniform hash."""
+    x = (qpos * jnp.uint32(0x9E3779B1)
+         + kpos * jnp.uint32(0x85EBCA77)
+         + bn * jnp.uint32(0xC2B2AE3D)) ^ seed
+    x = x ^ lax.shift_right_logical(x, jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ lax.shift_right_logical(x, jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ lax.shift_right_logical(x, jnp.uint32(16))
+    return x >= threshold
+
+
+def _rate_threshold(rate: float) -> int:
+    return min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def dropout_keep_reference(seed, b, n, num_heads, sq, sk, rate):
+    """[sq, sk] bool keep mask identical to the kernel's — for tests and
+    for dense-XLA parity computations."""
+    qpos = lax.broadcasted_iota(jnp.uint32, (sq, sk), 0)
+    kpos = lax.broadcasted_iota(jnp.uint32, (sq, sk), 1)
+    bn = jnp.uint32(b * num_heads + n)
+    return _hash_keep(qpos, kpos, bn, jnp.uint32(seed),
+                      jnp.uint32(_rate_threshold(rate)))
+
+
+def _kernel_bn():
+    """(b * N + n) for the current grid cell — must be evaluated at the
+    kernel top level (the interpreter only substitutes program_id there,
+    not inside fori_loop sub-jaxprs)."""
+    return (pl.program_id(0) * pl.num_programs(1)
+            + pl.program_id(1)).astype(jnp.uint32)
+
+
+def _block_keep(seed_ref, bn, qi, kb, bq, bk, rate):
+    """Keep mask for one (q-block, k-block) tile inside a kernel."""
+    qpos = (qi.astype(jnp.uint32) * jnp.uint32(bq)
+            + lax.broadcasted_iota(jnp.uint32, (bq, bk), 0))
+    kpos = (kb.astype(jnp.uint32) * jnp.uint32(bk)
+            + lax.broadcasted_iota(jnp.uint32, (bq, bk), 1))
+    seed = seed_ref[0].astype(jnp.uint32)
+    return _hash_keep(qpos, kpos, bn, seed,
+                      jnp.uint32(_rate_threshold(rate)))
+
+
+# --------------------------------------------------------------------- #
 # forward
 # --------------------------------------------------------------------- #
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, bq, bk, sep, s_actual, scale):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
+                *, bq, bk, sep, s_actual, scale, rate):
     qi = pl.program_id(2)
+    bn = _kernel_bn()
     q = q_ref[0, 0, :, :].astype(jnp.float32) * scale  # [bq, D]
     sk_pad = k_ref.shape[2]
     nkb = sk_pad // bk
@@ -71,7 +138,12 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, bq, bk, sep, s_actual, sca
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
+        # l accumulates the raw softmax mass; dropout applies only to the
+        # value-weighted accumulator, so acc/l == drop(softmax(s)) @ v
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _block_keep(seed_ref, bn, qi, kb, bq, bk, rate)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return m_new, l, acc
 
@@ -89,9 +161,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, l_ref, *, bq, bk, sep, s_actual, sca
 # --------------------------------------------------------------------- #
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   *, bq, bk, sep, s_actual, scale):
+def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, bq, bk, sep, s_actual, scale, rate):
     qi = pl.program_id(2)
+    bn = _kernel_bn()
     q = q_ref[0, 0, :, :].astype(jnp.float32)
     do = do_ref[0, 0, :, :].astype(jnp.float32)
     lse = lse_ref[0, 0, :, :]  # [bq,1]
@@ -109,7 +182,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        if rate > 0.0:
+            keep = _block_keep(seed_ref, bn, qi, kb, bq, bk, rate)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        ds = (pd * dp - p * delta) * scale
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     sep_blocks = -(-sep // bk)  # prefix keys are visible past the diagonal
@@ -118,9 +196,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                    dk_ref, dv_ref, *, bq, bk, sep, s_actual, scale):
+def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, bq, bk, sep, s_actual, scale, rate):
     ki = pl.program_id(2)
+    bn = _kernel_bn()
     k = k_ref[0, 0, :, :].astype(jnp.float32)  # [bk, D]
     v = v_ref[0, 0, :, :].astype(jnp.float32)
     sq_pad = q_ref.shape[2]
@@ -139,9 +218,14 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         mask = _causal_block_mask(qb, ki, bq, bk, sep, s_actual)
         s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
-        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _block_keep(seed_ref, bn, qb, ki, bq, bk, rate)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        dv = dv + jnp.dot(pd.T, do, preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (pd * dp - p * delta) * scale
         dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -169,7 +253,6 @@ def _to_bnsd(x, block):
     return jnp.transpose(x, (0, 2, 1, 3))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(
     q: jax.Array,  # [B, S, N, D]
     k: jax.Array,
@@ -178,8 +261,39 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int | None = None,
 ) -> jax.Array:
-    o, _ = _flash_fwd_impl(q, k, v, sep, block_q, block_k, interpret)
+    """Flash attention with the reference's causal+sep mask and optional
+    in-kernel attention-prob dropout.  ``dropout_seed`` may be a traced
+    uint32 scalar (one draw per call; per-element bits come from the
+    coordinate hash)."""
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed
+    ).astype(jnp.uint32).reshape((1,))
+    return _flash_attention(q, k, v, seed, sep, block_q, block_k, interpret,
+                            float(dropout_rate))
+
+
+def seed_from_key(key: jax.Array) -> jax.Array:
+    """uint32 dropout seed from a PRNG key (typed or legacy raw) without a
+    device-side bit-generator call (threefry inside scanned layer bodies is
+    pathologically slow on this runtime — see utils/rng.py)."""
+    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        data = jax.random.key_data(key)
+    else:
+        data = key
+    data = jnp.asarray(data, jnp.uint32).reshape(-1)
+    return (data[-1] ^ (data[0] << 1)).astype(jnp.uint32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attention(q, k, v, seed, sep, block_q, block_k, interpret, rate):
+    o, _ = _flash_fwd_impl(q, k, v, seed, sep, block_q, block_k, interpret,
+                           rate)
     return o
 
 
@@ -192,7 +306,7 @@ def _resolve_interpret(interpret):
     return _jax.default_backend() == "cpu"
 
 
-def _flash_fwd_impl(q, k, v, sep, bq, bk, interpret):
+def _flash_fwd_impl(q, k, v, seed, sep, bq, bk, interpret, rate):
     interpret = _resolve_interpret(interpret)
     B, S, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
@@ -201,9 +315,11 @@ def _flash_fwd_impl(q, k, v, sep, bq, bk, interpret):
     grid = (B, N, Sq // bq)
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, bq=bq, bk=bk, sep=sep, s_actual=S, scale=scale),
+        functools.partial(_fwd_kernel, bq=bq, bk=bk, sep=sep, s_actual=S,
+                          scale=scale, rate=rate),
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else _smem()),
             pl.BlockSpec((1, 1, bq, D), lambda b, n, qi: (b, n, qi, 0)),
             pl.BlockSpec((1, 1, Sk, D), lambda b, n, qi: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Sk, D), lambda b, n, qi: (b, n, 0, 0)),
@@ -217,19 +333,25 @@ def _flash_fwd_impl(q, k, v, sep, bq, bk, interpret):
             jax.ShapeDtypeStruct((B, N, Sq, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp)
+    )(seed, qp, kp, vp)
     o = jnp.transpose(o, (0, 2, 1, 3))[:, :S]
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, seed, o, lse)
 
 
-def _flash_fwd_rule(q, k, v, sep, bq, bk, interpret):
-    o, res = _flash_fwd_impl(q, k, v, sep, bq, bk, interpret)
+def _smem():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.SMEM
+
+
+def _flash_fwd_rule(q, k, v, seed, sep, bq, bk, interpret, rate):
+    o, res = _flash_fwd_impl(q, k, v, seed, sep, bq, bk, interpret, rate)
     return o, res
 
 
-def _flash_bwd_rule(sep, bq, bk, interpret, res, do):
+def _flash_bwd_rule(sep, bq, bk, interpret, rate, res, do):
     interpret = _resolve_interpret(interpret)
-    q, k, v, o, lse = res
+    q, k, v, seed, o, lse = res
     B, S, N, D = q.shape
     scale = 1.0 / math.sqrt(D)
     qp, kp, vp = _to_bnsd(q, bq), _to_bnsd(k, bk), _to_bnsd(v, bk)
@@ -241,10 +363,13 @@ def _flash_bwd_rule(sep, bq, bk, interpret, res, do):
     delta = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32), axis=-1,
                     keepdims=True)  # [B, N, Sq, 1]
 
+    seed_spec = pl.BlockSpec(memory_space=pl.ANY if interpret else _smem())
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, bq=bq, bk=bk, sep=sep, s_actual=S, scale=scale),
+        functools.partial(_bwd_dq_kernel, bq=bq, bk=bk, sep=sep, s_actual=S,
+                          scale=scale, rate=rate),
         grid=(B, N, Sq // bq),
         in_specs=[
+            seed_spec,
             pl.BlockSpec((1, 1, bq, D), lambda b, n, qi: (b, n, qi, 0)),
             pl.BlockSpec((1, 1, Sk, D), lambda b, n, qi: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, Sk, D), lambda b, n, qi: (b, n, 0, 0)),
@@ -255,12 +380,14 @@ def _flash_bwd_rule(sep, bq, bk, interpret, res, do):
         out_specs=pl.BlockSpec((1, 1, bq, D), lambda b, n, qi: (b, n, qi, 0)),
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, delta)
+    )(seed, qp, kp, vp, dop, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, bq=bq, bk=bk, sep=sep, s_actual=S, scale=scale),
+        functools.partial(_bwd_dkv_kernel, bq=bq, bk=bk, sep=sep, s_actual=S,
+                          scale=scale, rate=rate),
         grid=(B, N, Sk // bk),
         in_specs=[
+            seed_spec,
             pl.BlockSpec((1, 1, Sq, D), lambda b, n, ki: (b, n, 0, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, n, ki: (b, n, ki, 0)),
             pl.BlockSpec((1, 1, bk, D), lambda b, n, ki: (b, n, ki, 0)),
@@ -277,10 +404,10 @@ def _flash_bwd_rule(sep, bq, bk, interpret, res, do):
             jax.ShapeDtypeStruct(vp.shape, v.dtype),
         ],
         interpret=interpret,
-    )(qp, kp, vp, dop, lse, delta)
+    )(seed, qp, kp, vp, dop, lse, delta)
 
     tr = lambda x: jnp.transpose(x, (0, 2, 1, 3))[:, :S]
-    return tr(dq), tr(dk), tr(dv)
+    return tr(dq), tr(dk), tr(dv), None
 
 
-flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -1,0 +1,35 @@
+"""Persistent XLA compilation cache.
+
+The flagship decode program takes minutes to compile cold (one 48-layer
+body traced under prefill + a fori_loop); the reference never pays this
+because torch is eager, so an interactive user of the rebuild would see a
+~3 min first-query stall every process start.  Enabling JAX's persistent
+compilation cache amortizes that to one compile per (program, shape,
+jaxlib) ever: warm starts deserialize the executable in seconds.
+
+Call sites: bench.py and every CLI entry point (generate/serve/pretrain/
+fid).  Tests do NOT enable it — they intentionally exercise fresh traces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/cogview_tpu/xla")
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Idempotently enable the on-disk compilation cache and return its
+    directory.  Override the location with $COGVIEW_COMPILE_CACHE (an
+    empty value disables caching entirely)."""
+    env = os.environ.get("COGVIEW_COMPILE_CACHE")
+    if env == "":
+        return ""
+    path = path or env or DEFAULT_DIR
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return path

@@ -98,6 +98,97 @@ def test_flash_backward_with_padding_and_sep():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def _dense_with_hash_dropout(q, k, v, mask, seed, rate):
+    """dense_attention + the kernel's exact hash keep mask (the in-kernel
+    dropout is defined per global (b,n,qpos,kpos) coordinate, so a dense
+    computation can reproduce it bit-for-bit)."""
+    import math
+
+    from cogview_tpu.ops.flash_attention import dropout_keep_reference
+
+    B, Sq, N, D = q.shape
+    Sk = k.shape[1]
+    scale = 1.0 / math.sqrt(D)
+    scores = jnp.einsum("bqnd,bknd->bnqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(mask.astype(bool), scores, -10000.0)
+    probs = jax.nn.softmax(scores, axis=-1)
+    keep = jnp.stack([
+        jnp.stack([dropout_keep_reference(seed, b, n, N, Sq, Sk, rate)
+                   for n in range(N)])
+        for b in range(B)
+    ])
+    probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    return jnp.einsum("bnqk,bknd->bqnd", probs, v,
+                      preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize("s,sep,rate", [(128, 0, 0.1), (150, 20, 0.4)])
+def test_flash_dropout_matches_dense_hash(s, sep, rate):
+    q, k, v = _mk(s, seed=11)
+    want = _dense_with_hash_dropout(q, k, v, causal_mask(s, sep=sep), 123, rate)
+    got = flash_attention(q, k, v, sep, 64, 64, True,
+                          dropout_rate=rate, dropout_seed=123)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_flash_dropout_backward_matches_dense_hash():
+    s, sep, rate = 128, 20, 0.25
+    q, k, v = _mk(s, seed=12)
+
+    def loss_flash(q, k, v):
+        return jnp.mean(flash_attention(q, k, v, sep, 64, 64, True,
+                                        dropout_rate=rate, dropout_seed=77) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.mean(_dense_with_hash_dropout(
+            q, k, v, causal_mask(s, sep=sep), 77, rate) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch with dropout",
+        )
+
+
+def test_flash_dropout_seed_behavior():
+    s, rate = 96, 0.3
+    q, k, v = _mk(s, seed=13)
+    a = flash_attention(q, k, v, 0, 32, 32, True, dropout_rate=rate, dropout_seed=5)
+    b = flash_attention(q, k, v, 0, 32, 32, True, dropout_rate=rate, dropout_seed=5)
+    c = flash_attention(q, k, v, 0, 32, 32, True, dropout_rate=rate, dropout_seed=6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+    # block-partitioning independence: same mask at different block sizes
+    d = flash_attention(q, k, v, 0, 96, 32, True, dropout_rate=rate, dropout_seed=5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(d), atol=1e-5)
+    # observed drop fraction ~ rate
+    keepfrac = float(jnp.mean((np.asarray(a) != 0).astype(np.float32)))
+    assert keepfrac > 0.1
+
+
+def test_model_forward_flash_with_dropout():
+    """Training forward with flash + attention_dropout > 0 runs in-kernel
+    dropout (finite, differs from the no-dropout output, deterministic per
+    rng)."""
+    from cogview_tpu.config import tiny_test
+    from cogview_tpu.models import gpt
+
+    cfg = tiny_test(pb_relax=False, attention_dropout=0.3,
+                    use_flash_attention=True)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 128, (2, 40)))
+    rng = jax.random.key(3, impl="rbg")
+    out1 = gpt.forward(params, cfg, tokens, train=True, rng=rng)
+    out2 = gpt.forward(params, cfg, tokens, train=True, rng=rng)
+    base = gpt.forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(out1)).all()
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.abs(np.asarray(out1) - np.asarray(base)).max() > 1e-4
+
+
 def test_model_forward_with_flash_flag():
     """forward(use_flash_attention=True) == dense forward (causal, no
     dropout); exercises the in-model dispatch path (interpret on CPU)."""
