@@ -45,10 +45,14 @@ class GPTConfig:
     key_window_times: int = 6
     num_pivot: int = 768
     # flash (Pallas) attention for causal training/prefill paths, with
-    # in-kernel hash-PRNG attention dropout. Off by default: on the current
-    # runtime it matches XLA step time while saving the O(S^2) score
-    # memory — enable for memory-bound configs (bigger batch/seq).
-    use_flash_attention: bool = False
+    # in-kernel hash-PRNG attention dropout.  Measured on v5e (tutorial
+    # width, remat, dropout 0.1): at S=1089 XLA dense is ~18% faster at
+    # every batch that fits, but at S=4096 flash is 1.53x faster AND
+    # trains 2x the batch (dense's [B,N,S,S] fp32 scores OOM at batch 8;
+    # flash runs it).  "auto" (default) picks flash iff the sequence
+    # length >= flash_min_seq; True/False force it.
+    use_flash_attention: "bool | str" = "auto"
+    flash_min_seq: int = 2048
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
     # autoregressive KV cache storage: "bfloat16" (exact, XLA attention) or

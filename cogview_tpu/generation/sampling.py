@@ -23,7 +23,13 @@ Semantics preserved from the reference:
     marker index are shifted down by it (sampling.py:127, 143-144 — note
     this differs from the training-side dual-segment rule which assigns 0
     *at* [ROI2]; we reproduce the sampling behavior);
-  * sampling = multinomial over softmax(top_k/top_p(logits/T + mask));
+  * sampling = multinomial over softmax(top_k/top_p(logits/T + mask)),
+    realized as GUMBEL-MAX with counter-hash uniforms (ops/hash_prng.py):
+    argmax(logits + g) with g = -log(-log(u)), u hashed from
+    (step, row, vocab id, seed) — distributionally identical to
+    jax.random.categorical, but with zero RngBitGenerator ops inside the
+    decode loop (one rbg call in a loop costs a ~3 min first-execution
+    stall on this runtime; see hash_prng.py);
   * "beams" are plain batch samples: the reference's interlacing marks
     (sampling.py:200-211) fork one context into nb multinomial samples,
     which is exactly a batched decode here.
@@ -45,6 +51,7 @@ from jax import lax
 
 from ..config import GPTConfig
 from ..models import gpt
+from ..ops.hash_prng import hash_uniform, seed_from_key
 from ..utils.rng import rbg_key
 
 NEG_INF = -1e9
@@ -283,6 +290,7 @@ def _filling_sequence_jit(
     B = batch_size
     V = mask_table.shape[1]
     ctx = context_length
+    seed = seed_from_key(rng)  # all in-loop randomness is counter-hashed
 
     cache = gpt.init_cache(cfg, B, S, dtype=cfg.compute_dtype)
     tokens = jnp.broadcast_to(tokens_tpl, (B, S)).astype(jnp.int32)
@@ -308,7 +316,7 @@ def _filling_sequence_jit(
     mode0 = jnp.broadcast_to(mask_id[max(ctx - 1, 0)], (B,)).astype(jnp.int32)
 
     def step(t, state):
-        tokens, cache, last_logits, scores, cur_mode, rng = state
+        tokens, cache, last_logits, scores, cur_mode = state
         fixed = is_fixed[t]
         tpl_tok = tokens[:, t]  # already template-filled at fixed slots
 
@@ -318,8 +326,12 @@ def _filling_sequence_jit(
         filtered = apply_top_k(filtered, top_k)
         filtered = apply_top_p(filtered, top_p)
 
-        step_rng = jax.random.fold_in(rng, t)
-        sampled = jax.random.categorical(step_rng, filtered, axis=-1).astype(jnp.int32)
+        # gumbel-max draw from hashed (step, row, vocab) coordinates
+        rows = lax.broadcasted_iota(jnp.uint32, (B, V), 0)
+        cols = lax.broadcasted_iota(jnp.uint32, (B, V), 1)
+        u = hash_uniform(seed, rows, cols, jnp.uint32(t))
+        gumbel = -jnp.log(-jnp.log(u))
+        sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
         log_probs = jax.nn.log_softmax(filtered, axis=-1)
         samp_score = jnp.take_along_axis(
             log_probs, sampled[:, None], axis=-1
@@ -335,11 +347,11 @@ def _filling_sequence_jit(
             lax.dynamic_slice(pos, (0, t), (B, 1)),
             cache, t,
         )
-        return tokens, cache, step_logits[:, 0], scores, cur_mode, rng
+        return tokens, cache, step_logits[:, 0], scores, cur_mode
 
     scores = jnp.zeros((B,), jnp.float32)
-    state = (tokens, cache, last_logits, scores, mode0, rng)
-    tokens, cache, last_logits, scores, _, rng = lax.fori_loop(ctx, S, step, state)
+    state = (tokens, cache, last_logits, scores, mode0)
+    tokens, cache, last_logits, scores, _ = lax.fori_loop(ctx, S, step, state)
     return tokens, scores
 
 

@@ -39,7 +39,8 @@ from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
 from ..ops.decode_attention import (
     decode_attention_quant, dequantize_kv, pad_cache_len, quantize_kv)
-from ..ops.flash_attention import flash_attention, seed_from_key
+from ..ops.flash_attention import flash_attention
+from ..ops.hash_prng import hash_dropout, seed_from_key
 from ..ops.sparse_attention import pivot_window_attention
 
 
@@ -191,11 +192,14 @@ def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
 # --------------------------------------------------------------------- #
 
 
-def _dropout(x, rate, rng, train):
-    if not train or rate <= 0.0:
+def _dropout(x, rate, seed, train, salt=0):
+    """Counter-hash dropout (ops/hash_prng.py): any jax.random draw inside
+    the scanned layer body costs a ~3 min first-execution stall on this
+    runtime (RngBitGenerator in a device loop); the hash mask is pure VPU
+    integer math and bit-reproducible across platforms."""
+    if not train or rate <= 0.0 or seed is None:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return x * keep / (1.0 - rate)
+    return hash_dropout(x, rate, seed, salt)
 
 
 def _layer_body(
@@ -217,10 +221,10 @@ def _layer_body(
     eps = cfg.layernorm_epsilon
     cdt = h.dtype
 
-    if train and rng is not None:
-        r_attn, r_out, r_mlp = jax.random.split(rng, 3)
-    else:
-        r_attn = r_out = r_mlp = None
+    # one uint32 seed per layer (derived from the layer's key by pure
+    # key-data arithmetic — no in-loop bit generation); salts split the
+    # three dropout sites
+    lseed = seed_from_key(rng) if (train and rng is not None) else None
 
     ln1 = layer_norm(h, p["ln_in"]["g"], p["ln_in"]["b"], eps, cfg.pb_relax)
     qkv = (
@@ -311,31 +315,32 @@ def _layer_body(
         ctx = pivot_window_attention(
             q, k, v, sparse.pivot_idx, sparse.pivot_mask,
             sparse.query_window, sparse.key_window_times,
-            dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
+            dropout_seed=lseed, train=train,
         ).reshape(B, S, H)
     elif (
-        cfg.use_flash_attention
+        (cfg.use_flash_attention is True
+         or (cfg.use_flash_attention == "auto" and S >= cfg.flash_min_seq))
         and kv is None
         and sep_for_flash is not None
     ):
         # attention-prob dropout runs inside the kernel (hash-PRNG seeded
         # from this layer's attention key — ops/flash_attention.py)
-        rate = cfg.attention_dropout if (train and r_attn is not None) else 0.0
-        seed = seed_from_key(r_attn) if rate > 0.0 else None
+        rate = cfg.attention_dropout if lseed is not None else 0.0
+        seed = (lseed ^ jnp.uint32(0x5BD1E995)) if rate > 0.0 else None
         ctx = flash_attention(
             q, k, v, sep_for_flash, dropout_rate=rate, dropout_seed=seed,
         ).reshape(B, S, H)
     else:
         ctx = dense_attention(
             q, k, v, mask,
-            dropout_rate=cfg.attention_dropout, dropout_rng=r_attn, train=train,
+            dropout_seed=lseed, train=train,
         ).reshape(B, S, H)
 
     attn_out = (
         jnp.einsum("bsh,hj->bsj", ctx, p["attn_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ctx))
         + p["attn_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
-    attn_out = _dropout(attn_out, cfg.output_dropout, r_out, train)
+    attn_out = _dropout(attn_out, cfg.output_dropout, lseed, train, salt=2)
     if cfg.sandwich_ln:
         attn_out = layer_norm(attn_out, p["ln_attn"]["g"], p["ln_attn"]["b"], eps, cfg.pb_relax)
     h = h + attn_out
@@ -350,7 +355,7 @@ def _layer_body(
         jnp.einsum("bsj,jh->bsh", inter, p["mlp_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(inter))
         + p["mlp_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
-    mlp_out = _dropout(mlp_out, cfg.output_dropout, r_mlp, train)
+    mlp_out = _dropout(mlp_out, cfg.output_dropout, lseed, train, salt=3)
     if cfg.sandwich_ln:
         mlp_out = layer_norm(mlp_out, p["ln_mlp"]["g"], p["ln_mlp"]["b"], eps, cfg.pb_relax)
     h = h + mlp_out
@@ -361,7 +366,8 @@ def _embed(params, cfg, tokens, position_ids, rng, train):
     cdt = cfg.compute_dtype
     h = jnp.take(params["embed"]["word"], tokens, axis=0).astype(cdt)
     h = h + jnp.take(params["embed"]["pos"], position_ids, axis=0).astype(cdt)
-    return _dropout(h, cfg.embedding_dropout, rng, train)
+    seed = seed_from_key(rng) if (train and rng is not None) else None
+    return _dropout(h, cfg.embedding_dropout, seed, train, salt=4)
 
 
 def _logits(params, cfg, h):

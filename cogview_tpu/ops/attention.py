@@ -20,6 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .hash_prng import hash_dropout
 from .precision import dot_precision
 
 MASK_VALUE = -10000.0
@@ -32,7 +33,7 @@ def dense_attention(
     mask: jax.Array,  # broadcastable to [B, N, Sq, Sk], bool or 0/1
     *,
     dropout_rate: float = 0.0,
-    dropout_rng: Optional[jax.Array] = None,
+    dropout_seed: Optional[jax.Array] = None,  # uint32 (ops/hash_prng.py)
     train: bool = False,
 ) -> jax.Array:
     d = q.shape[-1]
@@ -47,9 +48,10 @@ def dense_attention(
     mask_b = mask.astype(bool)
     scores = jnp.where(mask_b, scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)
-    if train and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
+    if train and dropout_rate > 0.0 and dropout_seed is not None:
+        # counter-hash dropout: jax.random draws inside scanned layer
+        # bodies stall minutes on first execution (ops/hash_prng.py)
+        probs = hash_dropout(probs, dropout_rate, dropout_seed, salt=1)
     probs = probs.astype(v.dtype)
     return jnp.einsum(
         "bnqk,bknd->bqnd", probs, v,

@@ -27,10 +27,16 @@ mask in a dense XLA computation.
 Layout: [B, S, N, D]; wrapper pads S up to the q/k block size.  All
 compute fp32 inside the kernel regardless of input dtype.
 
-Measured on the target v5e chip (B8/N16/S1088/D64, bf16): fwd+bwd 135 ms
-vs 127 ms for XLA dense — throughput parity, with the [B,N,S,S] HBM score
-tensor eliminated (the win is peak-memory/batch-size headroom, not step
-time, on this runtime).  Enable per-config via GPTConfig.use_flash_attention.
+Measured on the target v5e chip (tutorial 12L/1024H/16N, remat, dropout
+0.1, full train step):
+
+  S=1089: dense 38-40k tok/s vs flash 32-34k at every batch 8-32 (neither
+          OOMs) — dense wins ~18% when the scores fit;
+  S=4096: dense  batch 4 = 12.1k tok/s, batch 8 = OOM (22.5G > 15.75G);
+          flash  batch 4 = 18.6k (1.53x), batch 8 = 18.6k (2x max batch).
+
+GPTConfig.use_flash_attention="auto" (default) picks flash iff
+S >= flash_min_seq (2048), which follows this data.
 """
 
 from __future__ import annotations
@@ -41,6 +47,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+
+from .hash_prng import hash_u32, seed_from_key  # noqa: F401  (re-exported)
 
 MASK_VALUE = -10000.0
 DEFAULT_BLOCK_Q = 128
@@ -62,20 +70,12 @@ def _causal_block_mask(qi, kb, bq, bk, sep, s_actual):
 
 
 def _hash_keep(qpos, kpos, bn, seed, threshold):
-    """Keep mask from a murmur-style finalizer over the element's global
-    coordinates.  qpos/kpos: uint32 arrays (broadcast-compatible); bn:
-    uint32 scalar (b * num_heads + n); seed: uint32 scalar; threshold:
+    """Keep mask from a hash of the element's global coordinates
+    (ops/hash_prng.py).  qpos/kpos: uint32 arrays (broadcast-compatible);
+    bn: uint32 scalar (b * num_heads + n); seed: uint32 scalar; threshold:
     uint32 scalar = round(rate * 2^32).  keep <=> hash >= threshold, so
     P(drop) = rate for a uniform hash."""
-    x = (qpos * jnp.uint32(0x9E3779B1)
-         + kpos * jnp.uint32(0x85EBCA77)
-         + bn * jnp.uint32(0xC2B2AE3D)) ^ seed
-    x = x ^ lax.shift_right_logical(x, jnp.uint32(16))
-    x = x * jnp.uint32(0x7FEB352D)
-    x = x ^ lax.shift_right_logical(x, jnp.uint32(15))
-    x = x * jnp.uint32(0x846CA68B)
-    x = x ^ lax.shift_right_logical(x, jnp.uint32(16))
-    return x >= threshold
+    return hash_u32(seed, qpos, kpos, bn) >= threshold
 
 
 def _rate_threshold(rate: float) -> int:
@@ -276,18 +276,6 @@ def flash_attention(
     ).astype(jnp.uint32).reshape((1,))
     return _flash_attention(q, k, v, seed, sep, block_q, block_k, interpret,
                             float(dropout_rate))
-
-
-def seed_from_key(key: jax.Array) -> jax.Array:
-    """uint32 dropout seed from a PRNG key (typed or legacy raw) without a
-    device-side bit-generator call (threefry inside scanned layer bodies is
-    pathologically slow on this runtime — see utils/rng.py)."""
-    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
-        data = jax.random.key_data(key)
-    else:
-        data = key
-    data = jnp.asarray(data, jnp.uint32).reshape(-1)
-    return (data[-1] ^ (data[0] << 1)).astype(jnp.uint32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))

@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 
 from .attention import MASK_VALUE
+from .hash_prng import hash_dropout
 from .precision import dot_precision
 
 
@@ -82,7 +83,7 @@ def pivot_window_attention(
     key_window_times: int = 6,
     pivot_bias: Optional[float] = None,
     dropout_rate: float = 0.0,
-    dropout_rng: Optional[jax.Array] = None,
+    dropout_seed: Optional[jax.Array] = None,  # uint32 (ops/hash_prng.py)
     train: bool = False,
 ) -> jax.Array:
     B, S, N, D = q.shape
@@ -119,9 +120,9 @@ def pivot_window_attention(
     wsc_flat = wsc.reshape(B, N, S, T)
     joint = jnp.concatenate([ps, wsc_flat], axis=-1)
     probs = jax.nn.softmax(joint, axis=-1)
-    if train and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
-        probs = probs * keep / (1.0 - dropout_rate)
+    if train and dropout_rate > 0.0 and dropout_seed is not None:
+        # counter-hash dropout (ops/hash_prng.py) — no in-loop rbg draws
+        probs = hash_dropout(probs, dropout_rate, dropout_seed, salt=1)
     probs = probs.astype(v.dtype)
     p_piv, p_win = probs[..., :P], probs[..., P:]
 

@@ -1,15 +1,16 @@
-"""PRNG key handling for device-side loops.
+"""PRNG key handling.
 
 The default threefry PRNG generates random bits with a long unrolled
 rotation chain that is catastrophically slow inside ``lax.fori_loop`` /
 ``lax.scan`` bodies on the TPU runtime this framework targets (measured:
-8 categorical draws over a 58k vocab did not finish in minutes, while the
-'rbg' implementation — XLA's native RngBitGenerator instruction — does
-1024 of them in 30 ms).  Every key that reaches a device-side loop
-(sampler steps, per-layer dropout in the scan over layers) is therefore
-converted to an rbg key.  Determinism per seed is preserved; rbg's split/
-fold_in have weaker independence guarantees, which is acceptable for
-sampling noise and dropout masks.
+8 categorical draws over a 58k vocab did not finish in minutes), and even
+the 'rbg' implementation (XLA's native RngBitGenerator) costs a ~3 min
+one-time first-execution stall when it appears inside a device loop.
+Keys are therefore converted to rbg for *top-level* draws (pivot
+sampling, init), while everything inside a device loop — sampler token
+draws, per-layer dropout — derives its randomness from counter hashes of
+one uint32 seed extracted from the key (ops/hash_prng.py).  Determinism
+per seed is preserved end to end.
 """
 
 from __future__ import annotations

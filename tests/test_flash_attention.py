@@ -189,6 +189,20 @@ def test_model_forward_flash_with_dropout():
     assert np.abs(np.asarray(out1) - np.asarray(base)).max() > 1e-4
 
 
+def test_flash_auto_dispatch_by_seq_len():
+    """use_flash_attention='auto' routes to flash iff S >= flash_min_seq;
+    both routes agree on a causal forward."""
+    from cogview_tpu.config import tiny_test
+    from cogview_tpu.models import gpt
+
+    cfg = tiny_test(pb_relax=False, flash_min_seq=16)  # auto by default
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.RandomState(3).randint(0, 128, (2, 40)))
+    auto = gpt.forward(params, cfg, tokens)  # S=40 >= 16 -> flash
+    dense = gpt.forward(params, cfg.replace(use_flash_attention=False), tokens)
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(dense), atol=2e-4)
+
+
 def test_model_forward_with_flash_flag():
     """forward(use_flash_attention=True) == dense forward (causal, no
     dropout); exercises the in-model dispatch path (interpret on CPU)."""
