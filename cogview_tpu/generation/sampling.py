@@ -30,9 +30,13 @@ Semantics preserved from the reference:
     jax.random.categorical, but with zero RngBitGenerator ops inside the
     decode loop (one rbg call in a loop costs a ~3 min first-execution
     stall on this runtime; see hash_prng.py);
-  * "beams" are plain batch samples: the reference's interlacing marks
-    (sampling.py:200-211) fork one context into nb multinomial samples,
-    which is exactly a batched decode here.
+  * "beams" are plain batch samples, and the reference's interlacing fork
+    marks (sampling.py:200-211: a -N slot forks one context into N
+    multinomial samples mid-sequence) are supported as a mechanism: a -N
+    template token sets Template.fork_at, before which all rows draw their
+    gumbel noise at row-coordinate 0 and therefore decode identical tokens
+    in lockstep — one shared sampled prefix, N continuations
+    (add_fork_marks mirrors add_interlacing_beam_marks).
 
 Vocab-padding rows (ids >= tokenizer.num_tokens) are always masked — the
 reference relies on the trained model never emitting them.
@@ -88,6 +92,15 @@ class Template:
         default_factory=lambda: np.full(2, -1, np.int32))  # [BOI1],[BOI2]
     eoi_ids: np.ndarray = dataclasses.field(
         default_factory=lambda: np.full(2, -1, np.int32))  # [EOI1],[EOI2]
+    # fork-to-N (the reference's interlacing beam marks, sampling.py:168-180,
+    # 200-211): a -N token in the seq marks "fork one decode into N
+    # independent samples HERE".  Before ``fork_at`` every batch row draws
+    # its gumbel noise at row-coordinate 0, so all rows sample identical
+    # tokens in lockstep; from ``fork_at`` on, rows use their own
+    # coordinate and diverge — exactly one shared context forked to N.
+    # fork_at=0 (default) = independent rows from the start.
+    fork_at: int = 0
+    fork_n: int = 0
 
     @property
     def length(self) -> int:
@@ -119,8 +132,11 @@ def compile_template_batch(
             np.array_equal(t.is_fixed, first.is_fixed)
             and np.array_equal(t.mask_id, first.mask_id)
             and np.array_equal(t.position_ids, first.position_ids)
+            and (t.fork_at, t.fork_n) == (first.fork_at, first.fork_n)
         ):
             raise ValueError("templates in a batch must share one slot pattern")
+    if first.fork_n:
+        raise ValueError("fork markers fork ONE context; use a [S] template")
     return Template(
         np.stack([t.tokens for t in tpls]),
         first.is_fixed,
@@ -161,7 +177,13 @@ def compile_template(
     offset = None
     context_length = 0
     seen_gen = False
+    fork_at, fork_n = 0, 0
     for t, x in enumerate(seq):
+        if x < -1:  # -N = fork-to-N marker on a generation slot
+            if fork_n:
+                raise ValueError("at most one fork marker per template")
+            fork_at, fork_n = t, -x
+            x = -1
         if x >= 0:
             # mode switches triggered by the fixed token itself
             # (sampling.py:85-96 pre-context scan and :119-124 in-loop)
@@ -193,7 +215,21 @@ def compile_template(
         tokens, is_fixed, mask_id, position_ids, context_length, table,
         np.asarray([tokenizer["[BOI1]"], tokenizer["[BOI2]"]], np.int32),
         np.asarray([tokenizer["[EOI1]"], tokenizer["[EOI2]"]], np.int32),
+        fork_at, fork_n,
     )
+
+
+def add_fork_marks(seq: Sequence[int], n: int) -> list:
+    """Mark the first generation slot as a fork-to-n point (the reference's
+    add_interlacing_beam_marks, sampling.py:200-211, which rewrites -1 slots
+    into -nb markers so filling_sequence forks one context into nb
+    samples).  Returns a copy of ``seq`` with the first -1 replaced by -n."""
+    out = [int(x) for x in seq]
+    for i, x in enumerate(out):
+        if x == -1:
+            out[i] = -int(n)
+            return out
+    raise ValueError("seq has no generation slots to fork at")
 
 
 # --------------------------------------------------------------------- #
@@ -266,7 +302,7 @@ def apply_top_p(logits: jax.Array, p: float) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "batch_size", "context_length", "temperature", "top_k", "top_p"),
+    static_argnames=("cfg", "batch_size", "context_length", "temperature", "top_k", "top_p", "fork_at"),
     donate_argnames=(),
 )
 def _filling_sequence_jit(
@@ -285,6 +321,7 @@ def _filling_sequence_jit(
     temperature: float,
     top_k: int,
     top_p: float,
+    fork_at: int = 0,
 ):
     S = tokens_tpl.shape[-1]
     B = batch_size
@@ -326,8 +363,13 @@ def _filling_sequence_jit(
         filtered = apply_top_k(filtered, top_k)
         filtered = apply_top_p(filtered, top_p)
 
-        # gumbel-max draw from hashed (step, row, vocab) coordinates
+        # gumbel-max draw from hashed (step, row, vocab) coordinates;
+        # before the fork point every row draws at row-coordinate 0, so
+        # rows sample identical tokens in lockstep (Template.fork_at doc)
         rows = lax.broadcasted_iota(jnp.uint32, (B, V), 0)
+        if fork_at > ctx:
+            rows = jnp.where(jnp.uint32(t) < jnp.uint32(fork_at),
+                             jnp.zeros_like(rows), rows)
         cols = lax.broadcasted_iota(jnp.uint32, (B, V), 1)
         u = hash_uniform(seed, rows, cols, jnp.uint32(t))
         gumbel = -jnp.log(-jnp.log(u))
@@ -370,6 +412,12 @@ def filling_sequence(
     (sampling.py:172-178).
     """
     rng = rbg_key(sampling.seed if rng is None else rng)
+    if template.fork_n > 1:
+        if batch_size not in (1, template.fork_n):
+            raise ValueError(
+                f"template forks to {template.fork_n} but batch_size={batch_size}"
+            )
+        batch_size = template.fork_n
     if template.tokens.ndim == 2 and template.tokens.shape[0] != batch_size:
         raise ValueError(
             f"batched template rows {template.tokens.shape[0]} != batch_size {batch_size}"
@@ -399,4 +447,5 @@ def filling_sequence(
         float(sampling.temperature),
         int(sampling.top_k),
         float(sampling.top_p),
+        int(template.fork_at),
     )

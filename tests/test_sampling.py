@@ -211,3 +211,50 @@ def test_generated_eoi_switches_to_text(tok, params):
     gen = tokens[:, 5:]
     # text range: [img_vocab, img_vocab + txt_vocab)
     assert (gen >= 32).all() and (gen < 32 + 64).all(), gen
+
+
+def test_fork_marks_share_prefix_then_diverge(tok, params):
+    """Fork-to-N (reference add_interlacing_beam_marks + the -N slot
+    semantics, sampling.py:168-180, 200-211): before the fork point all
+    rows decode one shared sampled prefix; after it they are independent
+    samples.  Row 0 must match the unforked run bit-for-bit (it always
+    draws at row-coordinate 0)."""
+    from cogview_tpu.generation.sampling import add_fork_marks
+
+    seq = [tok["[ROI1]"], 40, tok["[BASE]"], tok["[BOI1]"]] + [-1] * 12
+    tpl_plain = compile_template(seq, tok, padded_vocab=CFG.vocab_size)
+    assert tpl_plain.fork_n == 0
+
+    # fork at the 7th generation slot (mid-sequence, past the context)
+    forked = list(seq)
+    forked[4 + 6] = -4
+    tpl = compile_template(forked, tok, padded_vocab=CFG.vocab_size)
+    assert (tpl.fork_at, tpl.fork_n) == (10, 4)
+    assert not tpl.is_fixed[10]  # the marker is still a generation slot
+
+    sp = SamplingParams(seed=11)
+    toks, scores = filling_sequence(params, CFG, tpl, batch_size=1, sampling=sp)
+    toks = np.asarray(toks)
+    assert toks.shape[0] == 4  # batch grew to fork_n
+    # shared prefix: all rows identical strictly before fork_at
+    assert (toks[:, :10] == toks[:1, :10]).all()
+    # divergence after: the 4 continuations are not all identical
+    assert any((toks[i, 10:] != toks[0, 10:]).any() for i in range(1, 4))
+    # row 0 == unforked batch-4 row 0 (same seed, same coordinates)
+    plain, _ = filling_sequence(params, CFG, tpl_plain, batch_size=4, sampling=sp)
+    np.testing.assert_array_equal(toks[0], np.asarray(plain)[0])
+
+
+def test_add_fork_marks_and_validation(tok):
+    from cogview_tpu.generation.sampling import add_fork_marks
+
+    seq = [tok["[BOI1]"], -1, -1, -1]
+    marked = add_fork_marks(seq, 3)
+    assert marked == [tok["[BOI1]"], -3, -1, -1]
+    tpl = compile_template(marked, tok, padded_vocab=CFG.vocab_size)
+    assert (tpl.fork_at, tpl.fork_n) == (1, 3)
+    with pytest.raises(ValueError):
+        add_fork_marks([tok["[BOI1]"], 5], 3)  # no generation slots
+    with pytest.raises(ValueError):
+        compile_template([tok["[BOI1]"], -2, -2], tok,
+                         padded_vocab=CFG.vocab_size)  # two markers
