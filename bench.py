@@ -2,18 +2,24 @@
 
 One image = a 1024-token autoregressive decode of the flagship model
 (cogview-base scale: 48L x 2560H x 40 heads, vocab 58240, seq 1089) through
-the jitted KV-cached template sampler.  Default config: batch 24 over the
-int8 KV cache (fused Pallas decode kernel, ops/decode_attention.py); the
-reference script uses batch 4 (scripts/text2image.sh:46-48).  Weights are
-random bf16 — throughput is weight-value-independent.
+the jitted KV-cached template sampler.  Default config: batch 32, int8 KV
+cache (fused Pallas decode kernel, ops/decode_attention.py) AND int8
+weight-only quantization (gpt.quantize_weights: per-output-channel scales,
+exact-on-output dequant); the reference script uses batch 4
+(scripts/text2image.sh:46-48).  Weights are random bf16 before
+quantization — throughput is weight-value-independent.
 
 Roofline (v5e: 16GB HBM, ~750GB/s measured streaming BW): every decode step
-must read the 7.86GB bf16 weights (~10.5ms) plus each image's int8 KV cache
-(48L x 2560H x 1152Tp x 2 = 268MB + 34MB scales, ~0.40ms/image), so
-step(B) ~= 10.5ms + 0.48ms*B and img/s = B/(1024*step).  Measured r2
-decode-loop microbench: B8 15.4ms, B16 19.3ms, B24 23.1ms (1.01 img/s) —
-at the roofline; B32 exceeds HBM (weights 7.9 + caches 9.0GB).
-History r1 (bf16 cache, XLA attention): batch 8 -> 0.30 img/s.
+streams the weights (7.86GB bf16 / 4.1GB int8+scales) plus each image's
+int8 KV cache (48L x 2560H x 1152Tp x 2 = 268MB + 34MB scales,
+~0.49ms/image).  Measured (r2, reps=3 full sampler):
+  bf16 weights: B24 = 0.980 img/s (23.8ms/step; B32 OOMs: 7.9+9.0GB)
+  int8 weights: B24 = 1.258  B32 = 1.386  B36 = 1.446  B40 = 1.491 img/s
+i.e. the weight stream drops 23.8->18.6ms at B24 (~650GB/s of s8 — XLA
+fuses the s8->bf16 convert into the dot) and the freed 3.8GB raises the
+max batch.  COGVIEW_BENCH_WEIGHTS=bfloat16 reverts to exact weights.
+History: r1 (bf16 cache, XLA attention) batch 8 = 0.30 img/s; r2 int8-KV
+kernel batch 24 = 0.98-1.01.
 
 Baseline for vs_baseline: the reference on a V100 decodes the same 4B model
 with NO KV cache (full-prefix QKV recompute per token,
@@ -152,8 +158,15 @@ def bench_sr(cfg, reps, batch=4):
     from cogview_tpu.generation.sampling import SamplingParams
     from cogview_tpu.models import gpt
 
-    cfg = cfg.replace(max_position_embeddings=1345)
+    cfg = cfg.replace(
+        max_position_embeddings=1345,
+        kv_cache_dtype=os.environ.get("COGVIEW_BENCH_KV", "int8"),
+    )
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("COGVIEW_BENCH_WEIGHTS", "int8") == "int8":
+        # the 9 window decodes run at small batch -> weight-stream bound;
+        # int8 weights halve the dominant HBM term (see decode docstring)
+        params = jax.jit(gpt.quantize_weights, donate_argnums=0)(params)
     rng = np.random.RandomState(0)
     codes = rng.randint(0, IMG_VOCAB, (batch, 1024))
     text = [CMD["[ROI1]"]] + list(range(IMG_VOCAB + 100, IMG_VOCAB + 110)) + [CMD["[BASE]"], CMD["[BOI1]"]]
@@ -232,12 +245,18 @@ def main():
         print(json.dumps(result))
         return
     kv = os.environ.get("COGVIEW_BENCH_KV", "int8")
+    wdt = os.environ.get("COGVIEW_BENCH_WEIGHTS", "int8")
     cfg = cfg.replace(kv_cache_dtype=kv)
-    default_batch = "24" if kv == "int8" else "8"
+    if kv != "int8":
+        default_batch = "8"
+    else:
+        default_batch = "40" if wdt == "int8" else "24"
     batch = int(os.environ.get("COGVIEW_BENCH_BATCH", default_batch))
     reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
 
     params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if wdt == "int8":
+        params = jax.jit(gpt.quantize_weights, donate_argnums=0)(params)
 
     # text2image template: '[ROI1] <text> [BASE] [BOI1] [MASK]*1024'
     fake_text = list(range(IMG_VOCAB + 100, IMG_VOCAB + 130))  # 30 text ids
@@ -272,6 +291,7 @@ def main():
             "preset": preset,
             "batch": batch,
             "kv_cache": kv,
+            "weights": wdt,
             "reps": reps,
             "image_tokens_per_sec": round(tokens_per_sec, 1),
             "seconds_per_image": round(1.0 / images_per_sec, 3),

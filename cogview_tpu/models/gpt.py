@@ -94,6 +94,68 @@ def init_params(key: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
     return params
 
 
+def quantize_weights(params: Params) -> Params:
+    """Weight-only symmetric per-output-channel int8 quantization of the
+    big matmul weights (qkv / attn_out / mlp_in / mlp_out / tied word
+    embedding) for the memory-bound decode path.
+
+    Decode streams every weight byte per generated token, so int8 halves
+    the dominant HBM term (cogview-base: 7.86 GB bf16 -> 3.96 GB + 0.12 GB
+    scales).  Per-OUTPUT-channel scales make dequantization exact on the
+    matmul output: x @ W == (x @ W_q) * s  with  W = W_q * s[None, :], so
+    the only error is the rounding of W (the einsum runs on the int8
+    weights converted to compute dtype in-dot; the f32 per-channel scale
+    multiplies the [B,S,O] activations, never a weight-sized tensor).
+    Biases, LayerNorms and the position table stay in their stored dtype.
+
+    Quantized leaves swap {"w": W} for {"w8": int8, "s": f32 scale};
+    the forward dispatches on the key (static pytree structure).  The
+    tied embedding keeps both roles: logits use (h @ w8^T) * s[v], the
+    input gather dequantizes the taken rows only."""
+
+    def q(w, caxis):
+        w = jnp.asarray(w, jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=caxis, keepdims=True)
+        s = jnp.maximum(amax, 1e-12) / 127.0
+        w8 = jnp.round(w / s).astype(jnp.int8)
+        return {"w8": w8, "s": jnp.squeeze(s, axis=caxis)}
+
+    lyr = params["layers"]
+    out = {
+        "embed": {
+            # word [V, H]: logits contract over H -> per-vocab-row scale
+            "word": q(params["embed"]["word"], 1),
+            "pos": params["embed"]["pos"],
+        },
+        "layers": {
+            "ln_in": lyr["ln_in"],
+            "qkv": {**q(lyr["qkv"]["w"], 1), "b": lyr["qkv"]["b"]},  # [L,H,3,H] c-axis H
+            "attn_out": {**q(lyr["attn_out"]["w"], 1), "b": lyr["attn_out"]["b"]},
+            "ln_attn": lyr["ln_attn"],
+            "ln_post": lyr["ln_post"],
+            "mlp_in": {**q(lyr["mlp_in"]["w"], 1), "b": lyr["mlp_in"]["b"]},
+            "mlp_out": {**q(lyr["mlp_out"]["w"], 1), "b": lyr["mlp_out"]["b"]},
+            "ln_mlp": lyr["ln_mlp"],
+        },
+        "ln_final": params["ln_final"],
+    }
+    return out
+
+
+def _wmul(x, leaf, subscripts, cdt):
+    """einsum against a weight leaf that is either {"w"} (stored dtype) or
+    {"w8","s"} (int8 + per-output-channel scale; see quantize_weights).
+    Returns f32 (bias not yet added)."""
+    if "w8" in leaf:
+        y = jnp.einsum(subscripts, x, leaf["w8"].astype(cdt),
+                       preferred_element_type=jnp.float32,
+                       precision=dot_precision(x))
+        return y * leaf["s"]  # [..., O] f32 row scales broadcast
+    return jnp.einsum(subscripts, x, leaf["w"].astype(cdt),
+                      preferred_element_type=jnp.float32,
+                      precision=dot_precision(x))
+
+
 def extend_position_embedding(weight: jax.Array, length: int) -> jax.Array:
     """Grow a position-embedding table [P, H] to [length, H] by tiling it
     (reference utils.py:283-287 — ``expand(length//P).reshape``).  The
@@ -228,7 +290,7 @@ def _layer_body(
 
     ln1 = layer_norm(h, p["ln_in"]["g"], p["ln_in"]["b"], eps, cfg.pb_relax)
     qkv = (
-        jnp.einsum("bsh,hcj->bscj", ln1, p["qkv"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ln1))
+        _wmul(ln1, p["qkv"], "bsh,hcj->bscj", cdt)
         + p["qkv"]["b"].astype(jnp.float32)
     ).astype(cdt)
     q = qkv[:, :, 0].reshape(B, S, N, D)
@@ -244,9 +306,7 @@ def _layer_body(
         lnm = layer_norm(mem.astype(cdt), p["ln_in"]["g"], p["ln_in"]["b"],
                          eps, cfg.pb_relax)
         qkv_m = (
-            jnp.einsum("bsh,hcj->bscj", lnm, p["qkv"]["w"].astype(cdt),
-                       preferred_element_type=jnp.float32,
-                       precision=dot_precision(lnm))
+            _wmul(lnm, p["qkv"], "bsh,hcj->bscj", cdt)
             + p["qkv"]["b"].astype(jnp.float32)
         ).astype(cdt)
         M = mem.shape[1]
@@ -337,7 +397,7 @@ def _layer_body(
         ).reshape(B, S, H)
 
     attn_out = (
-        jnp.einsum("bsh,hj->bsj", ctx, p["attn_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ctx))
+        _wmul(ctx, p["attn_out"], "bsh,hj->bsj", cdt)
         + p["attn_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
     attn_out = _dropout(attn_out, cfg.output_dropout, lseed, train, salt=2)
@@ -347,12 +407,12 @@ def _layer_body(
 
     ln2 = layer_norm(h, p["ln_post"]["g"], p["ln_post"]["b"], eps, cfg.pb_relax)
     inter = (
-        jnp.einsum("bsh,hj->bsj", ln2, p["mlp_in"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(ln2))
+        _wmul(ln2, p["mlp_in"], "bsh,hj->bsj", cdt)
         + p["mlp_in"]["b"].astype(jnp.float32)
     ).astype(cdt)
     inter = jax.nn.gelu(inter, approximate=True)
     mlp_out = (
-        jnp.einsum("bsj,jh->bsh", inter, p["mlp_out"]["w"].astype(cdt), preferred_element_type=jnp.float32, precision=dot_precision(inter))
+        _wmul(inter, p["mlp_out"], "bsj,jh->bsh", cdt)
         + p["mlp_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
     mlp_out = _dropout(mlp_out, cfg.output_dropout, lseed, train, salt=3)
@@ -364,7 +424,12 @@ def _layer_body(
 
 def _embed(params, cfg, tokens, position_ids, rng, train):
     cdt = cfg.compute_dtype
-    h = jnp.take(params["embed"]["word"], tokens, axis=0).astype(cdt)
+    word = params["embed"]["word"]
+    if "w8" in word:
+        rows = jnp.take(word["w8"], tokens, axis=0).astype(jnp.float32)
+        h = (rows * jnp.take(word["s"], tokens, axis=0)[..., None]).astype(cdt)
+    else:
+        h = jnp.take(word, tokens, axis=0).astype(cdt)
     h = h + jnp.take(params["embed"]["pos"], position_ids, axis=0).astype(cdt)
     seed = seed_from_key(rng) if (train and rng is not None) else None
     return _dropout(h, cfg.embedding_dropout, seed, train, salt=4)
@@ -372,10 +437,16 @@ def _embed(params, cfg, tokens, position_ids, rng, train):
 
 def _logits(params, cfg, h):
     """Tied output projection (gpt2_modeling.py:115-118), fp32 logits."""
+    word = params["embed"]["word"]
+    if "w8" in word:
+        y = jnp.einsum("bsh,vh->bsv", h, word["w8"].astype(h.dtype),
+                       preferred_element_type=jnp.float32,
+                       precision=dot_precision(h))
+        return y * word["s"]
     return jnp.einsum(
         "bsh,vh->bsv",
         h,
-        params["embed"]["word"].astype(h.dtype),
+        word.astype(h.dtype),
         preferred_element_type=jnp.float32,
         precision=dot_precision(h),
     )
