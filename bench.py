@@ -41,6 +41,7 @@ COGVIEW_BENCH_MODE selecting the BASELINE.md config:
   train             pretrain fwd/bwd step                [config 5]
 """
 
+import functools
 import json
 import os
 import sys
@@ -105,14 +106,26 @@ def bench_vq(reps, batch):
     params = vqvae.init_params(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     imgs = jnp.asarray(rng.rand(batch, 256, 256, 3).astype(np.float32))
-    enc = jax.jit(vqvae.img2code)
-    dec = jax.jit(vqvae.code2img)
-    codes = enc(params, imgs)
-    np.asarray(dec(params, codes))  # compile both
+    # encode = fp32 HIGHEST (the bit-parity tokenization path; bf16 encode
+    # exists for self-consistent corpora, img2code docstring).  decode =
+    # bf16 by default: the decoder is COMPUTE-bound (~170 GFLOP/img at
+    # 512ch 256x256) and its bf16 error (<1.5e-2, tested) vanishes in
+    # 8-bit pixels.  Measured b32 roundtrips/s on v5e: fp32/fp32 49,
+    # fp32/bf16 76 (with the sub-pixel ConvT lowering; the naive
+    # lax.conv_transpose path benched 56/46).
+    edt = os.environ.get("COGVIEW_BENCH_VQ_ENCODE", "float32")
+    ddt = os.environ.get("COGVIEW_BENCH_VQ_DECODE", "bfloat16")
+    enc_f = functools.partial(
+        vqvae.img2code, dtype=jnp.bfloat16 if edt == "bfloat16" else None)
+    dec_f = functools.partial(
+        vqvae.code2img, dtype=jnp.bfloat16 if ddt == "bfloat16" else None)
+    # ONE jit per roundtrip: per-call dispatch through the tunneled runtime
+    # is ~50 ms, which dominated the old enc-then-dec split at small batch
+    roundtrip = jax.jit(lambda p, im: dec_f(p, enc_f(p, im)))
+    np.asarray(roundtrip(params, imgs))  # compile
     t0 = _t.time()
     for _ in range(reps):
-        codes = enc(params, imgs)
-        out = dec(params, codes)
+        out = roundtrip(params, imgs)
     np.asarray(out)
     dt = _t.time() - t0
     ips = reps * batch / dt
@@ -120,7 +133,8 @@ def bench_vq(reps, batch):
         "metric": "VQ-VAE 256x256 encode+decode roundtrips/sec",
         "value": round(ips, 2), "unit": "images/sec",
         "vs_baseline": round(ips / 30.0, 2),  # ~30 img/s V100 fp16 estimate
-        "extra": {"batch": batch, "reps": reps},
+        "extra": {"batch": batch, "reps": reps,
+                  "encode_dtype": edt, "decode_dtype": ddt},
     }
 
 
@@ -197,7 +211,8 @@ def bench_train(cfg, reps, batch):
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
     state = init_train_state(params, tx)
-    step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=True)
+    remat = os.environ.get("COGVIEW_BENCH_REMAT", "1") != "0"
+    step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=remat)
     rng = np.random.RandomState(0)
     b = {
         "text": rng.randint(0, 58000, size=(batch, 1089)).astype(np.int32),
@@ -228,7 +243,12 @@ def main():
     mode = os.environ.get("COGVIEW_BENCH_MODE", "decode")
     if mode != "decode":
         reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
-        batch = int(os.environ.get("COGVIEW_BENCH_BATCH", "8"))
+        # measured-best defaults (v5e): train peaks at batch 16 (40.8k
+        # tok/s vs 32k at 8, 39.5k at 32; no-remat OOMs at 16); vq batch 32
+        # amortizes the ~50ms per-call dispatch latency of this runtime
+        defaults = {"train": "16", "vq": "32"}
+        batch = int(os.environ.get(
+            "COGVIEW_BENCH_BATCH", defaults.get(mode, "8")))
         if mode == "vq":
             result = bench_vq(reps, batch)
         elif mode == "score":

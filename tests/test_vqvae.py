@@ -114,3 +114,57 @@ def test_straight_through_gradient(params):
     z = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 2, 256))
     g = jax.grad(f)(z)
     np.testing.assert_allclose(np.asarray(g), 3.0 * np.ones_like(g), rtol=1e-6)
+
+
+def test_code2img_bf16_decode_close(params):
+    """The bf16 decode fast path (code2img(dtype=bfloat16)) must stay
+    visually identical to the fp32 HIGHEST path: pixels are clipped to
+    8 bits downstream, so < ~1.5e-2 absolute error on the 0..1 range is
+    invisible in saved images."""
+    rng = np.random.RandomState(7)
+    codes = jnp.asarray(rng.randint(0, 8192, (2, 16)))
+    full = np.asarray(vqvae.code2img(params, codes), np.float32)
+    fast = np.asarray(
+        vqvae.code2img(params, codes, dtype=jnp.bfloat16), np.float32)
+    assert fast.dtype == np.float32 and fast.shape == full.shape
+    err = np.abs(fast - full).max()
+    assert err < 1.5e-2, f"bf16 decode max abs err {err}"
+
+
+def test_img2code_bf16_encode_mostly_agrees(params):
+    """The opt-in bf16 encoder (img2code(dtype=bfloat16)) is documented as
+    self-consistent-but-not-bit-parity: the code flip rate vs the fp32
+    path must stay small (flips happen only near quantization ties)."""
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    exact = np.asarray(vqvae.img2code(params, img))
+    fast = np.asarray(vqvae.img2code(params, img, dtype=jnp.bfloat16))
+    assert exact.shape == fast.shape
+    flip = (exact != fast).mean()
+    assert flip < 0.05, f"bf16 encode flips {flip:.3%} of codes"
+
+
+def test_subpixel_convt_matches_lax_conv_transpose():
+    """The decoder's k4/s2/p1 ConvTranspose runs as a sub-pixel conv (see
+    vqvae._conv_transpose_421); it must equal the lax.conv_transpose
+    lowering bit-closely, forward and gradient."""
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 6, 6, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 12, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(12).astype(np.float32))
+
+    def ref(w):
+        return jax.lax.conv_transpose(
+            x, w, strides=(2, 2), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+            precision=jax.lax.Precision.HIGHEST) + b
+
+    got = vqvae._conv_transpose_421(x, {"w": w, "b": b})
+    want = ref(w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    g1 = jax.grad(lambda w: jnp.sum(
+        vqvae._conv_transpose_421(x, {"w": w, "b": b}) ** 2))(w)
+    g2 = jax.grad(lambda w: jnp.sum(ref(w) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
