@@ -2,7 +2,7 @@
 
 One image = a 1024-token autoregressive decode of the flagship model
 (cogview-base scale: 48L x 2560H x 40 heads, vocab 58240, seq 1089) through
-the jitted KV-cached template sampler.  Default config: batch 32, int8 KV
+the jitted KV-cached template sampler.  Default config: batch 40, int8 KV
 cache (fused Pallas decode kernel, ops/decode_attention.py) AND int8
 weight-only quantization (gpt.quantize_weights: per-output-channel scales,
 exact-on-output dequant); the reference script uses batch 4

@@ -375,7 +375,8 @@ def _layer_body(
         ctx = pivot_window_attention(
             q, k, v, sparse.pivot_idx, sparse.pivot_mask,
             sparse.query_window, sparse.key_window_times,
-            dropout_seed=lseed, train=train,
+            dropout_rate=cfg.attention_dropout, dropout_seed=lseed,
+            train=train,
         ).reshape(B, S, H)
     elif (
         (cfg.use_flash_attention is True
@@ -393,7 +394,8 @@ def _layer_body(
     else:
         ctx = dense_attention(
             q, k, v, mask,
-            dropout_seed=lseed, train=train,
+            dropout_rate=cfg.attention_dropout, dropout_seed=lseed,
+            train=train,
         ).reshape(B, S, H)
 
     attn_out = (
@@ -438,18 +440,8 @@ def _embed(params, cfg, tokens, position_ids, rng, train):
 def _logits(params, cfg, h):
     """Tied output projection (gpt2_modeling.py:115-118), fp32 logits."""
     word = params["embed"]["word"]
-    if "w8" in word:
-        y = jnp.einsum("bsh,vh->bsv", h, word["w8"].astype(h.dtype),
-                       preferred_element_type=jnp.float32,
-                       precision=dot_precision(h))
-        return y * word["s"]
-    return jnp.einsum(
-        "bsh,vh->bsv",
-        h,
-        word.astype(h.dtype),
-        preferred_element_type=jnp.float32,
-        precision=dot_precision(h),
-    )
+    leaf = word if isinstance(word, dict) else {"w": word}
+    return _wmul(h, leaf, "bsh,vh->bsv", h.dtype)
 
 
 def forward(

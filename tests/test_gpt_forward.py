@@ -242,3 +242,42 @@ def test_vocab_padding_helper():
     assert pad_vocab_size(58219, 1) == 58240  # SURVEY §2.4
     assert pad_vocab_size(58219, 2) == 58368
     assert pad_vocab_size(128, 1) == 128
+
+
+def test_attention_dropout_active_on_dense_and_sparse_paths():
+    """Regression (round-2 hash-PRNG migration dropped dropout_rate at two
+    call sites): with attention_dropout > 0 a TRAIN forward must differ
+    from eval on the dense path and on the pivot+window sparse path, and
+    be reproducible for the same rng."""
+    from cogview_tpu.config import tiny_test
+    from cogview_tpu.models import gpt
+
+    cfg = tiny_test(attention_dropout=0.9, output_dropout=0.0,
+                    embedding_dropout=0.0, query_window=4,
+                    key_window_times=2, num_pivot=4)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 120, (2, 16)))
+    rng = jax.random.key(1, impl="rbg")
+
+    eval_out = np.asarray(gpt.forward(params, cfg, tokens))
+    train_out = np.asarray(gpt.forward(params, cfg, tokens,
+                                       train=True, rng=rng))
+    train_out2 = np.asarray(gpt.forward(params, cfg, tokens,
+                                        train=True, rng=rng))
+    assert np.abs(train_out - eval_out).max() > 1e-3, \
+        "dense attention dropout is not being applied"
+    np.testing.assert_array_equal(train_out, train_out2)
+
+    from cogview_tpu.ops.sparse_attention import (
+        build_rmask, gather_pivot_mask, sample_pivots)
+    S = tokens.shape[1]
+    pivot_idx = sample_pivots(
+        jax.random.key(2, impl="rbg"), tokens, cfg.num_pivot, 32)
+    rmask = jnp.asarray(build_rmask(S, cfg.query_window, cfg.key_window_times))
+    spec = gpt.SparseSpec(pivot_idx, gather_pivot_mask(rmask, pivot_idx),
+                          cfg.query_window, cfg.key_window_times)
+    sp_eval = np.asarray(gpt.forward(params, cfg, tokens, sparse=spec))
+    sp_train = np.asarray(gpt.forward(params, cfg, tokens, sparse=spec,
+                                      train=True, rng=rng))
+    assert np.abs(sp_train - sp_eval).max() > 1e-3, \
+        "sparse attention dropout is not being applied"
