@@ -18,6 +18,10 @@ int8 KV cache (48L x 2560H x 1152Tp x 2 = 268MB + 34MB scales,
 i.e. the weight stream drops 23.8->18.6ms at B24 (~650GB/s of s8 — XLA
 fuses the s8->bf16 convert into the dot) and the freed 3.8GB raises the
 max batch.  COGVIEW_BENCH_WEIGHTS=bfloat16 reverts to exact weights.
+COGVIEW_BENCH_KV=int4 (packed-nibble cache, ops/decode_attention.py):
+B40 = 1.626, B64 = 1.807 img/s — kept OPT-IN on quality grounds (absmax/7
+4-bit KV; the VPU nibble-unpack also eats most of the halved-DMA win, so
+the gain is mainly the 2x batch headroom).
 History: r1 (bf16 cache, XLA attention) batch 8 = 0.30 img/s; r2 int8-KV
 kernel batch 24 = 0.98-1.01.
 
@@ -267,8 +271,10 @@ def main():
     kv = os.environ.get("COGVIEW_BENCH_KV", "int8")
     wdt = os.environ.get("COGVIEW_BENCH_WEIGHTS", "int8")
     cfg = cfg.replace(kv_cache_dtype=kv)
-    if kv != "int8":
+    if kv == "bfloat16":
         default_batch = "8"
+    elif kv == "int4":
+        default_batch = "64"  # measured best (1.81 img/s; 40 -> 1.63)
     else:
         default_batch = "40" if wdt == "int8" else "24"
     batch = int(os.environ.get("COGVIEW_BENCH_BATCH", default_batch))

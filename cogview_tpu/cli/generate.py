@@ -70,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="int8 = weight-only per-channel quantization of the "
                         "matmul weights (halves the decode's dominant HBM "
                         "stream; ~1e-2 relative logit error)")
-    m.add_argument("--kv-cache", default="int8", choices=["int8", "bfloat16"],
+    m.add_argument("--kv-cache", default="int8",
+                   choices=["int8", "int4", "bfloat16"],
                    help="decode KV cache: int8 (fused Pallas kernel, ~2x "
                         "decode batch per chip) or bfloat16 (exact)")
 
@@ -133,8 +134,7 @@ def load_model(args):
     cfg: GPTConfig = PRESETS[args.preset]()
     cfg = cfg.replace(
         compute_dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
-        kv_cache_dtype={"int8": "int8", "bfloat16": "bfloat16"}[
-            getattr(args, "kv_cache", "int8")],
+        kv_cache_dtype=getattr(args, "kv_cache", "int8"),
     )
     if args.load:
         from ..models.convert import load_gpt_checkpoint

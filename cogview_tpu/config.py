@@ -55,11 +55,13 @@ class GPTConfig:
     flash_min_seq: int = 2048
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
-    # autoregressive KV cache storage: "bfloat16" (exact, XLA attention) or
+    # autoregressive KV cache storage: "bfloat16" (exact, XLA attention),
     # "int8" (per-(head,token)-scaled, fused Pallas decode kernel — half the
-    # cache HBM traffic and footprint, so ~2x the decode batch per chip).
-    # int8 is single-chip only (the Pallas call is not SPMD-partitioned);
-    # sharded generation keeps bfloat16.
+    # cache HBM traffic and footprint, so ~2x the decode batch per chip), or
+    # "int4" (two values per byte, absmax/7 scales — halves the cache again;
+    # OPT-IN: ~16x the int8 rounding error, see ops/decode_attention.py).
+    # int8/int4 are single-chip only (the Pallas call is not
+    # SPMD-partitioned); sharded generation keeps bfloat16.
     kv_cache_dtype: str = "bfloat16"
 
     def __post_init__(self):

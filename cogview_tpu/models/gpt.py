@@ -38,7 +38,8 @@ from ..ops.attention import causal_mask, decode_mask, dense_attention, dense_att
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
 from ..ops.decode_attention import (
-    decode_attention_quant, dequantize_kv, pad_cache_len, quantize_kv)
+    decode_attention_quant, decode_attention_quant4, dequantize_kv,
+    dequantize_kv4, pad_cache_len, quantize_kv, quantize_kv4)
 from ..ops.flash_attention import flash_attention
 from ..ops.hash_prng import hash_dropout, seed_from_key
 from ..ops.sparse_attention import pivot_window_attention
@@ -236,9 +237,10 @@ class QuantKVCache(NamedTuple):
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
     L, H, N, D = cfg.num_layers, cfg.hidden_size, cfg.num_heads, cfg.head_dim
-    if cfg.kv_cache_dtype == "int8":
+    if cfg.kv_cache_dtype in ("int8", "int4"):
         Tp = pad_cache_len(max_len)
-        shape = (L, batch, N, D, Tp)
+        Dc = D if cfg.kv_cache_dtype == "int8" else D // 2  # int4 packs 2/byte
+        shape = (L, batch, N, Dc, Tp)
         sshape = (L, batch, N, Tp)
         return QuantKVCache(
             jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
@@ -324,8 +326,11 @@ def _layer_body(
         # blocks in HBM (no per-layer slice copies off the scan carry).
         ck, cv, cks, cvs = kv
         Tp = ck.shape[4]
+        Dc = ck.shape[3]  # D (int8) or D//2 (packed int4)
+        int4 = Dc != D
         if S == 1:
-            ctx, ck, cv, cks, cvs = decode_attention_quant(
+            decode_fn = decode_attention_quant4 if int4 else decode_attention_quant
+            ctx, ck, cv, cks, cvs = decode_fn(
                 q[:, 0], qkv[:, 0, 1].reshape(B, N, D),
                 qkv[:, 0, 2].reshape(B, N, D),
                 ck, cv, cks, cvs, layer_idx, index,
@@ -336,19 +341,21 @@ def _layer_body(
             # prefill: quantize + chunked write + dense attention over the
             # dequantized layer (one-time cost per sequence; attending to
             # the quantized K/V keeps prefill and decode numerics close)
-            k8, ksc = quantize_kv(jnp.swapaxes(qkv[:, :, 1], 1, 2), N)
-            v8, vsc = quantize_kv(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
+            quant_fn = quantize_kv4 if int4 else quantize_kv
+            dequant_fn = dequantize_kv4 if int4 else dequantize_kv
+            k8, ksc = quant_fn(jnp.swapaxes(qkv[:, :, 1], 1, 2), N)
+            v8, vsc = quant_fn(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
             ck = lax.dynamic_update_slice(ck, k8[None], (layer_idx, 0, 0, 0, index))
             cv = lax.dynamic_update_slice(cv, v8[None], (layer_idx, 0, 0, 0, index))
             cks = lax.dynamic_update_slice(cks, ksc[None], (layer_idx, 0, 0, index))
             cvs = lax.dynamic_update_slice(cvs, vsc[None], (layer_idx, 0, 0, index))
             new_kv = (ck, cv, cks, cvs)
-            k_l = lax.dynamic_slice(ck, (layer_idx, 0, 0, 0, 0), (1, B, N, D, Tp))[0]
-            v_l = lax.dynamic_slice(cv, (layer_idx, 0, 0, 0, 0), (1, B, N, D, Tp))[0]
+            k_l = lax.dynamic_slice(ck, (layer_idx, 0, 0, 0, 0), (1, B, N, Dc, Tp))[0]
+            v_l = lax.dynamic_slice(cv, (layer_idx, 0, 0, 0, 0), (1, B, N, Dc, Tp))[0]
             ks_l = lax.dynamic_slice(cks, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
             vs_l = lax.dynamic_slice(cvs, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
-            kT = dequantize_kv(k_l, ks_l, cdt)  # [B, N, D, Tp]
-            vT = dequantize_kv(v_l, vs_l, cdt)
+            kT = dequant_fn(k_l, ks_l, cdt)  # [B, N, D, Tp]
+            vT = dequant_fn(v_l, vs_l, cdt)
             ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
     elif kv is not None:
         # Full [L,B,H,T] caches thread through the layer scan as a carry:

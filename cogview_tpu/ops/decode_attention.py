@@ -218,6 +218,195 @@ def decode_attention_quant(
     return ctx, k8, v8, kscale, vscale
 
 
+# --------------------------------------------------------------------- #
+# int4 variant (opt-in, cfg.kv_cache_dtype="int4")
+# --------------------------------------------------------------------- #
+#
+# Packing: cache [L, B, N, D/2, Tp] int8 where byte (d2, t) holds TWO
+# 4-bit values of the same (head, token) column: head-dim row d2 in the
+# high nibble (signed, [-7, 7]) and row d2 + D/2 in the low nibble
+# (stored biased +8, [1, 15]).  Unpacking is pure f32 VPU math —
+# hi = floor(b / 16), lo = b - 16*hi - 8 — because Mosaic's integer-shift
+# support on s8 vectors is unreliable while floor/mul/sub on f32 are
+# native.  The QK^T and PV dots then run per D-half against the unpacked
+# [hb, D/2, Tp] tensors (contraction over the sublane dim, like the int8
+# kernel), so no nibble interleave/relayout is ever materialized; the two
+# half-contexts concatenate on the small [hb, D/2] output.
+#
+# Accuracy: per-(head, token) absmax/7 scales — one sign bit + 3
+# magnitude bits per element, ~16x the int8 rounding error.  Shipped as
+# an OPT-IN serving mode (the int8 cache stays the default): with
+# released weights absent from this environment the FID impact is not
+# measurable here, so the default stays at the conservative setting.
+
+
+def _unpack4(bf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f32 packed bytes -> (hi, lo) f32 nibble values in [-8, 7]."""
+    hi = jnp.floor(bf * (1.0 / 16.0))
+    lo = bf - 16.0 * hi - 8.0
+    return hi, lo
+
+
+def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
+                    o_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, scale):
+    """int4 flavor of _decode_kernel; same grid/specs with D/2 cache rows."""
+    index = s_ref[1]
+    q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
+    kc = kc_ref[0].astype(jnp.float32)
+    vc = vc_ref[0].astype(jnp.float32)
+    hb, D = q.shape
+    D2 = D // 2
+    Tp = k_ref.shape[4]
+    W = WRITE_WINDOW
+
+    # ---- quantize + pack the current column ----
+    ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 7.0  # [hb]
+    vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 7.0
+    kq = jnp.clip(jnp.round(kc / ks_new[:, None]), -7.0, 7.0)  # [hb, D]
+    vq = jnp.clip(jnp.round(vc / vs_new[:, None]), -7.0, 7.0)
+
+    def _pack(x):  # [hb, D] -> [hb, D2]; lax slices (gather-free, Mosaic)
+        hi = lax.slice_in_dim(x, 0, D2, axis=1)
+        lo = lax.slice_in_dim(x, D2, D, axis=1)
+        return 16.0 * hi + (lo + 8.0)
+
+    kq_pack = _pack(kq)
+    vq_pack = _pack(vq)
+
+    # ---- attention over the packed past + exact current ----
+    kf = k_ref[0, 0].astype(jnp.float32)  # [hb, D2, Tp] packed bytes
+    k_hi, k_lo = _unpack4(kf)
+    # lax.slice_in_dim, not q[:, :D2]: jnp fancy-slicing lowers to a
+    # gather Mosaic has no rule for at these shapes
+    q_hi = lax.slice_in_dim(q, 0, D2, axis=1)[:, None, :]  # [hb, 1, D2]
+    q_lo = lax.slice_in_dim(q, D2, D, axis=1)[:, None, :]
+    s = (
+        lax.dot_general(q_hi, k_hi, (((2,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+        + lax.dot_general(q_lo, k_lo, (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32)
+    )[:, 0, :]  # [hb, Tp]
+    s = s * ks_ref[0, 0]
+    kpos = lax.broadcasted_iota(jnp.int32, (hb, Tp), 1)
+    s = jnp.where(kpos < index, s, MASK_VALUE)
+    s_cur = jnp.sum(q * kc, axis=1)
+    m = jnp.maximum(jnp.max(s, axis=1), s_cur)
+    p = jnp.exp(s - m[:, None])
+    p_cur = jnp.exp(s_cur - m)
+    l = jnp.sum(p, axis=1) + p_cur
+    pv = p * vs_ref[0, 0]
+    vf = v_ref[0, 0].astype(jnp.float32)
+    v_hi, v_lo = _unpack4(vf)
+    ctx_hi = lax.dot_general(pv[:, None, :], v_hi, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)[:, 0, :]
+    ctx_lo = lax.dot_general(pv[:, None, :], v_lo, (((2,), (2,)), ((0,), (0,))),
+                             preferred_element_type=jnp.float32)[:, 0, :]
+    ctx = jnp.concatenate([ctx_hi, ctx_lo], axis=1)  # [hb, D]
+    ctx = (ctx + p_cur[:, None] * vc) / l[:, None]
+    o_ref[0] = ctx.astype(o_ref.dtype)
+
+    # ---- windowed write-back ----
+    wstart = (index // W) * W
+    col = index - wstart
+    onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+    onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
+    k_win = k_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
+    v_win = v_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
+    ko_ref[0, 0] = jnp.where(onehot3, kq_pack[:, :, None], k_win).astype(jnp.int8)
+    vo_ref[0, 0] = jnp.where(onehot3, vq_pack[:, :, None], v_win).astype(jnp.int8)
+    kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0, :, pl.ds(wstart, W)])
+    vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0, :, pl.ds(wstart, W)])
+
+
+def decode_attention_quant4(
+    q: jax.Array,  # [B, N, D]
+    k_col: jax.Array,
+    v_col: jax.Array,
+    k4: jax.Array,  # [L, B, N, D/2, Tp] int8 (packed nibbles)
+    v4: jax.Array,
+    kscale: jax.Array,  # [L, B, N, Tp] f32
+    vscale: jax.Array,
+    layer_idx: jax.Array,
+    index: jax.Array,
+    *,
+    head_block: int | None = None,
+    interpret: bool = False,
+):
+    """int4 counterpart of decode_attention_quant (see packing note above)."""
+    B, N, D = q.shape
+    L, _, _, D2, Tp = k4.shape
+    assert D2 == D // 2 and kscale.shape == (L, B, N, Tp)
+    assert Tp % WRITE_WINDOW == 0
+    scale = 1.0 / math.sqrt(D)
+    # budget on the UNPACKED f32 footprint, not the packed bytes: each
+    # packed byte becomes two f32 lanes (8x), so size the head block as if
+    # elements were 2*D wide — else hb=40 at cogview-base scope-OOMs VMEM
+    # (measured: 19MB > the 16MB scoped limit)
+    hb = head_block or pick_head_block(N, 2 * D, Tp)
+    assert N % hb == 0
+    if not interpret:
+        interpret = jax.default_backend() == "cpu"
+
+    W = WRITE_WINDOW
+    scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                         jnp.asarray(index, jnp.int32)])
+    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, s: (b, h, 0))
+    cache_spec = pl.BlockSpec(
+        (1, 1, hb, D2, Tp), lambda b, h, s: (s[0], b, h, 0, 0))
+    scale_spec = pl.BlockSpec(
+        (1, 1, hb, Tp), lambda b, h, s: (s[0], b, h, 0))
+    win_spec = pl.BlockSpec(
+        (1, 1, hb, D2, W), lambda b, h, s: (s[0], b, h, 0, s[1] // W))
+    swin_spec = pl.BlockSpec(
+        (1, 1, hb, W), lambda b, h, s: (s[0], b, h, s[1] // W))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, N // hb),
+        in_specs=[col_spec, col_spec, col_spec,
+                  cache_spec, cache_spec, scale_spec, scale_spec],
+        out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, N, D), q.dtype),
+        jax.ShapeDtypeStruct(k4.shape, jnp.int8),
+        jax.ShapeDtypeStruct(v4.shape, jnp.int8),
+        jax.ShapeDtypeStruct(kscale.shape, jnp.float32),
+        jax.ShapeDtypeStruct(vscale.shape, jnp.float32),
+    ]
+    aliases = {4: 1, 5: 2, 6: 3, 7: 4}
+    ctx, k4, v4, kscale, vscale = pl.pallas_call(
+        functools.partial(_decode_kernel4, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(scalars, q, k_col, v_col, k4, v4, kscale, vscale)
+    return ctx, k4, v4, kscale, vscale
+
+
+def quantize_kv4(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]:
+    """Per-(head, token) absmax int4 quantization + nibble packing
+    (prefill path).  cols [B, H, S] -> (packed int8 [B, N, D/2, S],
+    scales f32 [B, N, S])."""
+    B, H, S = cols.shape
+    D = H // num_heads
+    c = cols.reshape(B, num_heads, D, S).astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(c), axis=2), 1e-8) / 7.0
+    qv = jnp.clip(jnp.round(c / s[:, :, None, :]), -7.0, 7.0)
+    D2 = D // 2
+    packed = 16.0 * qv[:, :, :D2] + (qv[:, :, D2:] + 8.0)
+    return packed.astype(jnp.int8), s
+
+
+def dequantize_kv4(q4: jax.Array, scales: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """[B, N, D/2, T] packed + [B, N, T] scales -> [B, N, D, T] floats."""
+    bf = q4.astype(jnp.float32)
+    hi = jnp.floor(bf / 16.0)
+    lo = bf - 16.0 * hi - 8.0
+    full = jnp.concatenate([hi, lo], axis=2)  # [B, N, D, T]
+    return (full * scales[:, :, None, :]).astype(dtype)
+
+
 def quantize_kv(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]:
     """Per-(head, token) absmax int8 quantization of K or V columns
     (prefill path; the decode loop quantizes in-kernel).
