@@ -119,6 +119,10 @@ def bench_vq(reps, batch):
     # lax.conv_transpose path benched 56/46).
     edt = os.environ.get("COGVIEW_BENCH_VQ_ENCODE", "float32")
     ddt = os.environ.get("COGVIEW_BENCH_VQ_DECODE", "bfloat16")
+    for name, val in [("COGVIEW_BENCH_VQ_ENCODE", edt),
+                      ("COGVIEW_BENCH_VQ_DECODE", ddt)]:
+        if val not in ("float32", "bfloat16"):
+            raise SystemExit(f"{name}={val!r}: use float32|bfloat16")
     enc_f = functools.partial(
         vqvae.img2code, dtype=jnp.bfloat16 if edt == "bfloat16" else None)
     dec_f = functools.partial(
@@ -270,11 +274,17 @@ def main():
         return
     kv = os.environ.get("COGVIEW_BENCH_KV", "int8")
     wdt = os.environ.get("COGVIEW_BENCH_WEIGHTS", "int8")
+    if kv not in ("bfloat16", "int8", "int4"):
+        raise SystemExit(f"COGVIEW_BENCH_KV={kv!r}: use bfloat16|int8|int4")
+    if wdt not in ("bfloat16", "int8"):
+        raise SystemExit(f"COGVIEW_BENCH_WEIGHTS={wdt!r}: use bfloat16|int8")
     cfg = cfg.replace(kv_cache_dtype=kv)
     if kv == "bfloat16":
         default_batch = "8"
     elif kv == "int4":
-        default_batch = "64"  # measured best (1.81 img/s; 40 -> 1.63)
+        # measured best 64 (1.81 img/s; 40 -> 1.63); bf16 weights need the
+        # same 3.8GB back that int8 weights free up
+        default_batch = "64" if wdt == "int8" else "40"
     else:
         default_batch = "40" if wdt == "int8" else "24"
     batch = int(os.environ.get("COGVIEW_BENCH_BATCH", default_batch))

@@ -73,7 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--kv-cache", default="int8",
                    choices=["int8", "int4", "bfloat16"],
                    help="decode KV cache: int8 (fused Pallas kernel, ~2x "
-                        "decode batch per chip) or bfloat16 (exact)")
+                        "decode batch per chip), int4 (packed nibbles, "
+                        "another 2x batch but ~16x the int8 rounding error "
+                        "— opt-in, quality not validated against released "
+                        "weights), or bfloat16 (exact)")
 
     s = p.add_argument_group("sampling")
     s.add_argument("--batch-size", type=int, default=4,

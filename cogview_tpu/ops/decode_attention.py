@@ -400,9 +400,7 @@ def quantize_kv4(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]
 
 def dequantize_kv4(q4: jax.Array, scales: jax.Array, dtype=jnp.float32) -> jax.Array:
     """[B, N, D/2, T] packed + [B, N, T] scales -> [B, N, D, T] floats."""
-    bf = q4.astype(jnp.float32)
-    hi = jnp.floor(bf / 16.0)
-    lo = bf - 16.0 * hi - 8.0
+    hi, lo = _unpack4(q4.astype(jnp.float32))
     full = jnp.concatenate([hi, lo], axis=2)  # [B, N, D, T]
     return (full * scales[:, :, None, :]).astype(dtype)
 
