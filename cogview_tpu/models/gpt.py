@@ -497,7 +497,13 @@ def forward(
         return h, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # remat=True recomputes everything; remat="dots" keeps the
+        # batch-dim-free matmul outputs (qkv/attn_out/mlp projections) and
+        # recomputes only cheap elementwise work — more memory, fewer
+        # MXU-pass replays (pick per config; bench COGVIEW_BENCH_REMAT)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
 
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
@@ -574,7 +580,13 @@ def forward_with_mems(
         return h_out, h_out
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # remat=True recomputes everything; remat="dots" keeps the
+        # batch-dim-free matmul outputs (qkv/attn_out/mlp projections) and
+        # recomputes only cheap elementwise work — more memory, fewer
+        # MXU-pass replays (pick per config; bench COGVIEW_BENCH_REMAT)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     xs = (params["layers"], layer_rngs) if mems is None else (
         params["layers"], layer_rngs, layer_mems)
     h_final, layer_outs = lax.scan(body, h, xs)
