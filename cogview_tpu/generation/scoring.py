@@ -28,10 +28,12 @@ def inverse_prompt_score(
     botext: int = BOTEXT,
 ) -> jax.Array:
     """-> [B] sum of log p(text_t | image, prefix) over t > botext."""
-    logits = gpt.forward(params, cfg, tokens)
+    # logits only from botext on: the text tail is ~20 of 1048 positions,
+    # so the full [S, 58240] projection would be 97% wasted MXU + HBM
+    logits = gpt.forward(params, cfg, tokens, logits_from=botext)
     logits = logits.at[..., :img_vocab].set(-jnp.inf)
     log_probs = jax.nn.log_softmax(logits, axis=-1)
-    pred = log_probs[:, botext:-1]  # predicts positions botext+1..S-1
+    pred = log_probs[:, :-1]  # predicts positions botext+1..S-1
     target = tokens[:, botext + 1 :]
     picked = jnp.take_along_axis(pred, target[..., None], axis=-1)[..., 0]
     return jnp.sum(picked, axis=-1)

@@ -463,8 +463,14 @@ def forward(
     rng: Optional[jax.Array] = None,
     remat: bool = False,
     sparse: Optional[SparseSpec] = None,
+    logits_from: Optional[int] = None,
 ) -> jax.Array:
     """Full forward -> fp32 logits [B, S, V].
+
+    ``logits_from=t`` returns logits only for positions >= t ([B, S-t, V]):
+    the [S, V] projection is the single biggest tensor a long-context
+    forward makes (1048x58240 f32 = 245MB/row at cogview-base), and
+    callers like caption scoring need just the text tail.
 
     ``sparse`` switches every layer to pivot+window attention (the
     reference's is_sparse=1 training mode); the dense mask args are then
@@ -506,6 +512,8 @@ def forward(
         body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
 
+    if logits_from is not None:
+        h = h[:, logits_from:]
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
     return _logits(params, cfg, h)
 

@@ -281,3 +281,31 @@ def test_attention_dropout_active_on_dense_and_sparse_paths():
                                       train=True, rng=rng))
     assert np.abs(sp_train - sp_eval).max() > 1e-3, \
         "sparse attention dropout is not being applied"
+
+
+def test_logits_from_slices_exactly():
+    """forward(logits_from=t) == forward()[:, t:] (drives the caption-
+    scoring fast path, which projects only the text tail); and
+    inverse_prompt_score over the sliced path equals the full-logits
+    computation."""
+    from cogview_tpu.config import tiny_test
+    from cogview_tpu.generation.scoring import inverse_prompt_score
+    from cogview_tpu.models import gpt
+
+    cfg = tiny_test(max_position_embeddings=48)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jnp.asarray(np.random.RandomState(0).randint(0, 120, (2, 40)))
+    full = np.asarray(gpt.forward(params, cfg, tokens))
+    tail = np.asarray(gpt.forward(params, cfg, tokens, logits_from=25))
+    np.testing.assert_allclose(tail, full[:, 25:], rtol=1e-6, atol=1e-6)
+
+    botext, img_vocab = 20, 32
+    got = np.asarray(inverse_prompt_score(
+        params, cfg, tokens, img_vocab=img_vocab, botext=botext))
+    lg = full.copy()
+    lg[..., :img_vocab] = -np.inf
+    lp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+    want = np.take_along_axis(
+        lp[:, botext:-1], np.asarray(tokens)[:, botext + 1:, None], axis=-1
+    )[..., 0].sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
