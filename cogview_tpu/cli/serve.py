@@ -38,6 +38,11 @@ def build_parser():
     p.add_argument("--img-tokenizer-path", default=None)
     p.add_argument("--text-model-path", default=None)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--weights", default="bfloat16", choices=["bfloat16", "int8"],
+                   help="int8 weight-only quantization (see generate --weights)")
+    p.add_argument("--kv-cache", default="int8",
+                   choices=["int8", "int4", "bfloat16"],
+                   help="decode KV cache (see generate --kv-cache)")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--max-inference-batch-size", type=int, default=8)
     p.add_argument("--temperature", type=float, default=1.0)
