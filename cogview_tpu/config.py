@@ -60,9 +60,13 @@ class GPTConfig:
     # cache HBM traffic and footprint, so ~2x the decode batch per chip), or
     # "int4" (two values per byte, absmax/7 scales — halves the cache again;
     # OPT-IN: ~16x the int8 rounding error, see ops/decode_attention.py).
-    # int8/int4 are single-chip only (the Pallas call is not
-    # SPMD-partitioned); sharded generation keeps bfloat16.
+    # Single-chip by default; set decode_shard_axis to a mesh axis name
+    # (usually 'data') to run the quantized-decode Pallas kernel per
+    # data-parallel shard of an ambient mesh (batch rows attend only to
+    # their own cache, so the kernel needs no collectives).  bfloat16
+    # caches shard through plain pjit without this.
     kv_cache_dtype: str = "bfloat16"
+    decode_shard_axis: "str | None" = None
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

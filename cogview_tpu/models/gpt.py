@@ -334,6 +334,7 @@ def _layer_body(
                 q[:, 0], qkv[:, 0, 1].reshape(B, N, D),
                 qkv[:, 0, 2].reshape(B, N, D),
                 ck, cv, cks, cvs, layer_idx, index,
+                data_axis=cfg.decode_shard_axis,
             )
             new_kv = (ck, cv, cks, cvs)
             ctx = ctx.astype(cdt).reshape(B, 1, H)

@@ -150,6 +150,27 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
     vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_win)
 
 
+def _shard_over_batch(fn, data_axis, q, k_col, v_col, kq, vq, ks, vs,
+                      layer_idx, index):
+    """Run a quantized-decode kernel per data-parallel shard: every operand
+    is batch-sharded over ``data_axis`` (cache dim 1, columns dim 0),
+    scalars replicated; rows attend only to their own cache, so the kernel
+    needs no cross-shard collectives.  Uses the ambient mesh
+    (jax.set_mesh)."""
+    P_ = jax.sharding.PartitionSpec
+    col = P_(data_axis)
+    cache = P_(None, data_axis)
+    rep = P_()
+    return jax.shard_map(
+        fn,
+        in_specs=(col, col, col, cache, cache, cache, cache, rep, rep),
+        out_specs=(col, cache, cache, cache, cache),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata; the
+        # kernel is per-shard pure so the vma check has nothing to verify
+        check_vma=False,
+    )(q, k_col, v_col, kq, vq, ks, vs, layer_idx, index)
+
+
 def decode_attention_quant(
     q: jax.Array,  # [B, N, D] current token's queries (compute dtype)
     k_col: jax.Array,  # [B, N, D] current token's key (compute dtype)
@@ -163,12 +184,20 @@ def decode_attention_quant(
     *,
     head_block: int | None = None,
     interpret: bool = False,
+    data_axis: str | None = None,
 ):
     """-> (ctx [B, N, D] in q.dtype, k8', v8', kscale', vscale').
 
     The cache arrays are donated (input_output_aliases); layer ``layer_idx``
     gets slot ``index`` updated with the quantized (k_col, v_col).  Falls
-    back to interpret mode on CPU."""
+    back to interpret mode on CPU.  ``data_axis`` runs the kernel per
+    data-parallel shard of an ambient mesh (multi-chip DP decode over the
+    quantized cache; attention is batch-row-local so no collectives)."""
+    if data_axis is not None:
+        fn = functools.partial(decode_attention_quant,
+                               head_block=head_block, interpret=interpret)
+        return _shard_over_batch(fn, data_axis, q, k_col, v_col,
+                                 k8, v8, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
     L, _, _, _, Tp = k8.shape
     assert k8.shape == (L, B, N, D, Tp) and kscale.shape == (L, B, N, Tp)
@@ -331,8 +360,14 @@ def decode_attention_quant4(
     *,
     head_block: int | None = None,
     interpret: bool = False,
+    data_axis: str | None = None,
 ):
     """int4 counterpart of decode_attention_quant (see packing note above)."""
+    if data_axis is not None:
+        fn = functools.partial(decode_attention_quant4,
+                               head_block=head_block, interpret=interpret)
+        return _shard_over_batch(fn, data_axis, q, k_col, v_col,
+                                 k4, v4, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
     L, _, _, D2, Tp = k4.shape
     assert D2 == D // 2 and kscale.shape == (L, B, N, Tp)
