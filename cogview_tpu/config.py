@@ -67,6 +67,8 @@ class GPTConfig:
     # caches shard through plain pjit without this.
     kv_cache_dtype: str = "bfloat16"
     decode_shard_axis: "str | None" = None
+    # and/or TP: heads sharded over this mesh axis (attention is head-local)
+    decode_head_axis: "str | None" = None
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

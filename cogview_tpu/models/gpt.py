@@ -335,6 +335,7 @@ def _layer_body(
                 qkv[:, 0, 2].reshape(B, N, D),
                 ck, cv, cks, cvs, layer_idx, index,
                 data_axis=cfg.decode_shard_axis,
+                model_axis=cfg.decode_head_axis,
             )
             new_kv = (ck, cv, cks, cvs)
             ctx = ctx.astype(cdt).reshape(B, 1, H)

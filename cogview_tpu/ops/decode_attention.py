@@ -150,21 +150,23 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
     vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_win)
 
 
-def _shard_over_batch(fn, data_axis, q, k_col, v_col, kq, vq, ks, vs,
-                      layer_idx, index):
-    """Run a quantized-decode kernel per data-parallel shard: every operand
-    is batch-sharded over ``data_axis`` (cache dim 1, columns dim 0),
-    scalars replicated; rows attend only to their own cache, so the kernel
-    needs no cross-shard collectives.  Uses the ambient mesh
+def _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col, kq, vq,
+                      ks, vs, layer_idx, index):
+    """Run a quantized-decode kernel per mesh shard: batch dims sharded
+    over ``data_axis`` (cache dim 1, columns dim 0), HEAD dims over
+    ``model_axis`` (cache dim 2, columns dim 1), scalars replicated.
+    Attention is (batch row, head)-local, so the kernel needs no
+    cross-shard collectives either way.  Uses the ambient mesh
     (jax.set_mesh)."""
     P_ = jax.sharding.PartitionSpec
-    col = P_(data_axis)
-    cache = P_(None, data_axis)
+    col = P_(data_axis, model_axis)
+    cache = P_(None, data_axis, model_axis)
+    scl = P_(None, data_axis, model_axis)
     rep = P_()
     return jax.shard_map(
         fn,
-        in_specs=(col, col, col, cache, cache, cache, cache, rep, rep),
-        out_specs=(col, cache, cache, cache, cache),
+        in_specs=(col, col, col, cache, cache, scl, scl, rep, rep),
+        out_specs=(col, cache, cache, scl, scl),
         # pallas_call out_shapes carry no varying-mesh-axes metadata; the
         # kernel is per-shard pure so the vma check has nothing to verify
         check_vma=False,
@@ -185,18 +187,20 @@ def decode_attention_quant(
     head_block: int | None = None,
     interpret: bool = False,
     data_axis: str | None = None,
+    model_axis: str | None = None,
 ):
     """-> (ctx [B, N, D] in q.dtype, k8', v8', kscale', vscale').
 
     The cache arrays are donated (input_output_aliases); layer ``layer_idx``
     gets slot ``index`` updated with the quantized (k_col, v_col).  Falls
-    back to interpret mode on CPU.  ``data_axis`` runs the kernel per
-    data-parallel shard of an ambient mesh (multi-chip DP decode over the
-    quantized cache; attention is batch-row-local so no collectives)."""
-    if data_axis is not None:
+    back to interpret mode on CPU.  ``data_axis``/``model_axis`` run the
+    kernel per shard of an ambient mesh — batch rows over data, heads over
+    model (multi-chip DP/TP decode over the quantized cache; attention is
+    (row, head)-local so no collectives)."""
+    if data_axis is not None or model_axis is not None:
         fn = functools.partial(decode_attention_quant,
                                head_block=head_block, interpret=interpret)
-        return _shard_over_batch(fn, data_axis, q, k_col, v_col,
+        return _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col,
                                  k8, v8, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
     L, _, _, _, Tp = k8.shape
@@ -361,12 +365,13 @@ def decode_attention_quant4(
     head_block: int | None = None,
     interpret: bool = False,
     data_axis: str | None = None,
+    model_axis: str | None = None,
 ):
     """int4 counterpart of decode_attention_quant (see packing note above)."""
-    if data_axis is not None:
+    if data_axis is not None or model_axis is not None:
         fn = functools.partial(decode_attention_quant4,
                                head_block=head_block, interpret=interpret)
-        return _shard_over_batch(fn, data_axis, q, k_col, v_col,
+        return _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col,
                                  k4, v4, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
     L, _, _, D2, Tp = k4.shape

@@ -75,3 +75,39 @@ def test_quantized_decode_sharded_over_data_axis(eight_devices):
         stoks = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
         got = decode_all(scfg, sharded, stoks)
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_quantized_decode_sharded_dp_and_tp(eight_devices):
+    """decode_shard_axis='data' + decode_head_axis='model' on a 4x2 mesh:
+    the int8 decode kernel runs per (DP, TP) shard — batch rows over data,
+    heads over model — and matches the unsharded decode."""
+    cfg = tiny_test(pb_relax=False, compute_dtype=jnp.float32,
+                    kv_cache_dtype="int8")  # 8 heads -> 2 per model shard
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(1)
+    B, S, ctx = 4, 18, 10
+    tokens = jnp.asarray(rng.randint(0, 128, (B, S)).astype(np.int32))
+    pos = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+
+    def decode_all(cfg_, params_, toks):
+        cache = gpt.init_cache(cfg_, B, S)
+        lg, cache = gpt.forward_with_cache(
+            params_, cfg_, toks[:, :ctx], pos[:, :ctx], cache, jnp.int32(0))
+        outs = [np.asarray(lg)]
+        for t in range(ctx, S):
+            lg, cache = gpt.forward_with_cache(
+                params_, cfg_, toks[:, t:t + 1], pos[:, t:t + 1], cache,
+                jnp.int32(t))
+            outs.append(np.asarray(lg))
+        return np.concatenate(outs, axis=1)
+
+    want = decode_all(cfg, params, tokens)
+
+    mesh = create_mesh(model_parallel=4, data_parallel=2)
+    scfg = cfg.replace(decode_shard_axis="data", decode_head_axis="model")
+    with jax.set_mesh(mesh):
+        sharded = shard_params(params, mesh, gpt_param_specs())
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        stoks = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+        got = decode_all(scfg, sharded, stoks)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
