@@ -222,6 +222,8 @@ def bench_train(cfg, reps, batch):
     # "dots" keeps batch-dim-free matmul outputs across the backward pass
     # (models/gpt.py): measured 42.2k tok/s vs 41k full-remat at batch 16
     renv = os.environ.get("COGVIEW_BENCH_REMAT", "dots")
+    if renv not in ("0", "1", "dots"):
+        raise SystemExit(f"COGVIEW_BENCH_REMAT={renv!r}: use 0|1|dots")
     remat = {"0": False, "1": True, "dots": "dots"}[renv]
     step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=remat)
     rng = np.random.RandomState(0)

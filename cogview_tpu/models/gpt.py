@@ -453,6 +453,20 @@ def _logits(params, cfg, h):
     return _wmul(h, leaf, "bsh,vh->bsv", h.dtype)
 
 
+def _maybe_checkpoint(body, remat):
+    """Apply the activation-remat policy to a scanned layer body.
+
+    remat=True recomputes everything; remat="dots" keeps the batch-dim-free
+    matmul outputs (qkv/attn_out/mlp projections) and recomputes only cheap
+    elementwise work — more memory, fewer MXU-pass replays (pick per
+    config; bench COGVIEW_BENCH_REMAT)."""
+    if not remat:
+        return body
+    policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+              if remat == "dots" else None)
+    return jax.checkpoint(body, prevent_cse=False, policy=policy)
+
+
 def forward(
     params: Params,
     cfg: GPTConfig,
@@ -504,14 +518,7 @@ def forward(
                            sep_for_flash=sep_for_flash)
         return h, None
 
-    if remat:
-        # remat=True recomputes everything; remat="dots" keeps the
-        # batch-dim-free matmul outputs (qkv/attn_out/mlp projections) and
-        # recomputes only cheap elementwise work — more memory, fewer
-        # MXU-pass replays (pick per config; bench COGVIEW_BENCH_REMAT)
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat == "dots" else None)
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+    body = _maybe_checkpoint(body, remat)
     h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
 
     if logits_from is not None:
@@ -589,14 +596,7 @@ def forward_with_mems(
         h_out, _ = _layer_body(cfg, h, p, mask, r, train, mem=mem_i)
         return h_out, h_out
 
-    if remat:
-        # remat=True recomputes everything; remat="dots" keeps the
-        # batch-dim-free matmul outputs (qkv/attn_out/mlp projections) and
-        # recomputes only cheap elementwise work — more memory, fewer
-        # MXU-pass replays (pick per config; bench COGVIEW_BENCH_REMAT)
-        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-                  if remat == "dots" else None)
-        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
+    body = _maybe_checkpoint(body, remat)
     xs = (params["layers"], layer_rngs) if mems is None else (
         params["layers"], layer_rngs, layer_mems)
     h_final, layer_outs = lax.scan(body, h, xs)
