@@ -71,3 +71,21 @@ def test_quantized_sampler_runs_and_is_deterministic():
     np.testing.assert_array_equal(t1, t2)
     gen = t1[:, 4:]
     assert (gen >= 0).all() and (gen < 32).all()  # image codes only
+
+
+def test_quantized_params_orbax_roundtrip(tmp_path):
+    """A serving snapshot of int8-quantized params survives orbax
+    save/load bit-exactly (w8 int8 leaves + f32 scales)."""
+    from cogview_tpu.training.checkpointing import (
+        load_latest, save_checkpoint)
+
+    qparams = gpt.quantize_weights(_params())
+    save_checkpoint(str(tmp_path), 0, {"params": qparams, "iteration": 0})
+    restored = load_latest(str(tmp_path), target={"params": qparams,
+                                                  "iteration": 0})
+    rq = restored["params"]
+    assert rq["layers"]["qkv"]["w8"].dtype == jnp.int8
+    flat_a, _ = jax.tree.flatten(qparams)
+    flat_b, _ = jax.tree.flatten(rq)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
