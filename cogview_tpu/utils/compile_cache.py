@@ -9,6 +9,12 @@ jaxlib) ever: warm starts deserialize the executable in seconds.
 
 Call sites: bench.py and every CLI entry point (generate/serve/pretrain/
 fid).  Tests do NOT enable it — they intentionally exercise fresh traces.
+
+CPU backends are excluded: on the tunneled runtime the cache may hold
+XLA:CPU AOT artifacts compiled on a DIFFERENT machine (the remote compile
+helper), and loading them locally warns "machine type ... doesn't match
+... could lead to execution errors such as SIGILL".  TPU executables are
+target-hardware-keyed, so only those are cached.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ def enable_persistent_cache(path: str | None = None) -> str:
     env = os.environ.get("COGVIEW_COMPILE_CACHE")
     if env == "":
         return ""
+    if jax.default_backend() == "cpu":
+        return ""  # see module docstring: cross-machine CPU AOT is unsafe
     path = path or env or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
