@@ -33,8 +33,13 @@ def enable_persistent_cache(path: str | None = None) -> str:
     env = os.environ.get("COGVIEW_COMPILE_CACHE")
     if env == "":
         return ""
-    if jax.default_backend() == "cpu":
-        return ""  # see module docstring: cross-machine CPU AOT is unsafe
+    # CPU-only processes skip the cache (module docstring).  Decide from
+    # the platforms CONFIG, not jax.default_backend(): initializing the
+    # backend this early detaches the persistent cache on the tunneled
+    # runtime (measured: compile_seconds stayed ~250s across runs).
+    platforms = (jax.config.jax_platforms or "").split(",")[0]
+    if platforms == "cpu":
+        return ""
     path = path or env or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
