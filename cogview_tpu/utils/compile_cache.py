@@ -43,6 +43,15 @@ def enable_persistent_cache(path: str | None = None) -> str:
     path = path or env or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERYTHING: on the tunneled runtime even a jit_multiply costs
+    # a ~0.4s remote-compile round trip, and a CLI start runs ~27 such
+    # tiny dispatch ops before the big program
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # pallas/custom-call lowerings can embed process-local pointers in the
+    # serialized HLO, making keys nondeterministic across processes (the
+    # decode program's intermittent misses); strip them from the key, and
+    # log the key component that differs whenever a miss still happens
+    jax.config.update("jax_remove_custom_partitioning_ptr_from_cache_key", True)
+    jax.config.update("jax_explain_cache_misses", True)
     return path
