@@ -7,6 +7,13 @@ because torch is eager, so an interactive user of the rebuild would see a
 compilation cache amortizes that to one compile per (program, shape,
 jaxlib) ever: warm starts deserialize the executable in seconds.
 
+Note the residual warm-start variance on the tunneled runtime: with a
+fully warm cache (zero persistent misses logged), the first CALL of the
+decode program still measures anywhere from ~30s to ~520s — the remote
+runtime pays its own one-time program load/link on first execution, and
+that cost depends on its internal state, not on this cache.  Steady-state
+throughput is unaffected.
+
 Call sites: bench.py and every CLI entry point (generate/serve/pretrain/
 fid).  Tests do NOT enable it — they intentionally exercise fresh traces.
 
