@@ -216,6 +216,15 @@ def bench_train(cfg, reps, batch):
     from cogview_tpu.training.optim import make_optimizer
     from cogview_tpu.training.train_loop import init_train_state, make_train_step
 
+    # COGVIEW_BENCH_SPARSE=1 trains with pivot+window sparse attention at
+    # the reference script's geometry (text2image.sh:39-41: window 64,
+    # times 4, 256 pivots; 1088 training tokens divide the window).
+    # Measured b16: 37.5k tok/s vs 42.2k dense — at seq 1088 the pivot
+    # gathers cost more than the attention FLOPs they save (dense is the
+    # reference's production path too; sparse pays off at longer contexts)
+    sparse = os.environ.get("COGVIEW_BENCH_SPARSE", "0") == "1"
+    if sparse:
+        cfg = cfg.replace(query_window=64, key_window_times=4, num_pivot=256)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
     state = init_train_state(params, tx)
@@ -225,7 +234,8 @@ def bench_train(cfg, reps, batch):
     if renv not in ("0", "1", "dots"):
         raise SystemExit(f"COGVIEW_BENCH_REMAT={renv!r}: use 0|1|dots")
     remat = {"0": False, "1": True, "dots": "dots"}[renv]
-    step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=remat)
+    step = make_train_step(cfg, tx, txt_loss_scale=5.0, remat=remat,
+                           is_sparse=sparse)
     rng = np.random.RandomState(0)
     b = {
         "text": rng.randint(0, 58000, size=(batch, 1089)).astype(np.int32),
@@ -243,7 +253,8 @@ def bench_train(cfg, reps, batch):
         "metric": "pretrain tokens/sec (tutorial 12L/1024H, remat)",
         "value": round(tps, 1), "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 12000.0, 2),  # ~12k tok/s/V100 estimate
-        "extra": {"batch": batch, "reps": reps,
+        "extra": {"batch": batch, "reps": reps, "remat": renv,
+                  "attention": "sparse" if sparse else "dense",
                   "ms_per_step": round(dt / reps * 1000, 1)},
     }
 
