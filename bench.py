@@ -218,13 +218,23 @@ def bench_train(cfg, reps, batch):
 
     # COGVIEW_BENCH_SPARSE=1 trains with pivot+window sparse attention at
     # the reference script's geometry (text2image.sh:39-41: window 64,
-    # times 4, 256 pivots; 1088 training tokens divide the window).
-    # Measured b16: 37.5k tok/s vs 42.2k dense — at seq 1088 the pivot
-    # gathers cost more than the attention FLOPs they save (dense is the
-    # reference's production path too; sparse pays off at longer contexts)
+    # times 4, 256 pivots; training tokens must divide the window).
+    # Measured long-context picture (tutorial width, v5e):
+    #   seq 1088:  dense 42.2k > sparse 37.5k tok/s (b16) — pivot gathers
+    #              cost more than the FLOPs they save; dense is the
+    #              reference's production path here too
+    #   seq 4224:  sparse 33.1k (b4) > flash 18.6k > dense 12.1k tok/s —
+    #              the regime the kernel exists for (reference's own test
+    #              geometry, mpu/sparse_transformer.py:753); sparse b8 OOMs
     sparse = os.environ.get("COGVIEW_BENCH_SPARSE", "0") == "1"
     if sparse:
         cfg = cfg.replace(query_window=64, key_window_times=4, num_pivot=256)
+    # COGVIEW_BENCH_SEQ overrides the 1089-token sample length (long-
+    # context comparisons: dense vs flash-auto vs sparse); training tokens
+    # = seq-1 must divide the sparse window
+    seq = int(os.environ.get("COGVIEW_BENCH_SEQ", "1089"))
+    if seq != 1089:
+        cfg = cfg.replace(max_position_embeddings=seq)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
     state = init_train_state(params, tx)
@@ -238,8 +248,8 @@ def bench_train(cfg, reps, batch):
                            is_sparse=sparse)
     rng = np.random.RandomState(0)
     b = {
-        "text": rng.randint(0, 58000, size=(batch, 1089)).astype(np.int32),
-        "loss_mask": np.ones((batch, 1089), np.float32),
+        "text": rng.randint(0, 58000, size=(batch, seq)).astype(np.int32),
+        "loss_mask": np.ones((batch, seq), np.float32),
     }
     state, m = step(state, b, jax.random.PRNGKey(1))
     float(m["lm_loss"])
@@ -248,12 +258,12 @@ def bench_train(cfg, reps, batch):
         state, m = step(state, b, jax.random.PRNGKey(i + 2))
     float(m["lm_loss"])
     dt = _t.time() - t0
-    tps = reps * batch * 1088 / dt
+    tps = reps * batch * (seq - 1) / dt
     return {
         "metric": "pretrain tokens/sec (tutorial 12L/1024H, remat)",
         "value": round(tps, 1), "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 12000.0, 2),  # ~12k tok/s/V100 estimate
-        "extra": {"batch": batch, "reps": reps, "remat": renv,
+        "extra": {"batch": batch, "seq": seq, "reps": reps, "remat": renv,
                   "attention": "sparse" if sparse else "dense",
                   "ms_per_step": round(dt / reps * 1000, 1)},
     }
