@@ -35,8 +35,11 @@ OPTIMISTIC ceiling for the reference, not a guess against it.  The >=10x
 target from BASELINE.json therefore corresponds to vs_baseline >= 10.
 
 Env overrides: COGVIEW_BENCH_PRESET=tiny|tutorial|base (default base on
-accelerators, tiny on cpu), COGVIEW_BENCH_BATCH, COGVIEW_BENCH_REPS, and
-COGVIEW_BENCH_MODE selecting the BASELINE.md config:
+accelerators, tiny on cpu), COGVIEW_BENCH_BATCH, COGVIEW_BENCH_REPS,
+COGVIEW_BENCH_KV=int8|int4|bfloat16, COGVIEW_BENCH_WEIGHTS=int8|bfloat16,
+COGVIEW_BENCH_REMAT=dots|1|0 + COGVIEW_BENCH_SPARSE=1 +
+COGVIEW_BENCH_SEQ=N (train mode), COGVIEW_BENCH_VQ_ENCODE/DECODE (vq
+mode), and COGVIEW_BENCH_MODE selecting the BASELINE.md config:
 
   decode (default)  256x256 text2image AR decode       [config 2]
   vq                VQ-VAE encode+decode roundtrip      [config 1]
