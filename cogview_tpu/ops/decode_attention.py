@@ -41,10 +41,22 @@ kpos < index, the current token is always visible to itself, and invisible
 logits are -10000 exactly (reference mpu/sparse_transformer.py:662-663 —
 they underflow to probability 0 after the f32 max subtraction).
 
-The grid is (B, N/head_block): one program streams one batch row's head
-block [hb, Tp, D] of K and V (int8, ~0.5 MB each at cogview-base), large
-enough DMA chunks to hit full HBM bandwidth while VMEM stays within budget
-under double buffering.
+The grid is (B, N/head_block, Tp/128) with the **token-window dim
+innermost**, and the cache BlockSpec maps window ``w`` to
+``min(w, index // 128)``: every dead window past the live prefix resolves
+to the same block index as its predecessor, so the Pallas pipeline elides
+the DMA entirely (revisited blocks are not re-fetched).  Per decode step
+the kernel therefore streams only ``ceil((index+1)/128)`` live windows of
+cache instead of the full padded Tp — over a 1024-token decode with a
+~65-token prefix that is ~5.5 of 9 windows on average, cutting the cache
+bytes (the dominant term at large batch) by ~1.6x.  Attention accumulates
+across window steps flash-style (running max / sum / context scratch in
+VMEM); the final window step adds the current token's exact bf16
+contribution, normalizes, writes the context, and performs the windowed
+cache write-back — at that step the resident cache block IS the live
+window containing ``index``.  One window block [hb, D, 128] of K or V at
+full head count is ~320 KB int8: large enough DMA chunks to hit full HBM
+bandwidth while VMEM stays within budget under double buffering.
 
 Reference for the math being fused: generation-time ``is_sparse=0``
 attention (mpu/sparse_transformer.py:130-141, standard_attention :652-673);
@@ -78,7 +90,12 @@ def pick_head_block(num_heads: int, head_dim: int, max_len: int) -> int:
     conservative per-buffer budget (~1.5MB; x2 tensors x2 pipeline buffers
     + scales ~= 7MB of VMEM).  Mosaic requires block dims divisible by the
     tile shape unless they equal the array dim, so only multiples of 8 —
-    or the full head count — qualify."""
+    or the full head count — qualify.
+
+    Since the windowed-streaming rewrite the kernels call this with
+    ``max_len=WRITE_WINDOW`` (one 128-token window resident at a time), so
+    at cogview-base scale (40 heads, D=64) the block is the full head
+    count; the Tp-sized budget only governs legacy callers/tests."""
     budget = 1536 * 1024
     cands = [h for h in range(num_heads, 0, -1)
              if num_heads % h == 0 and (h == num_heads or h % 8 == 0)]
@@ -89,65 +106,90 @@ def pick_head_block(num_heads: int, head_dim: int, max_len: int) -> int:
 
 
 def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   o_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, scale):
-    """One (batch row, head block).
+                   o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+                   acc_ref, m_ref, l_ref, *, scale):
+    """One (batch row, head block, token window) grid cell.
 
-    s_ref (SMEM): [layer, index]; q/kc/vc [1,hb,D]; k/v [1,1,hb,D,Tp] int8;
-    ks/vs [1,1,hb,Tp] f32.  Outputs: o [1,hb,D] ctx; ko/vo [1,1,hb,D,W] and
+    s_ref (SMEM): [layer, index]; q/kc/vc [1,hb,D]; k/v [1,1,hb,D,W] int8
+    — ONE 128-token window of the cache, the BlockSpec index_map clamps
+    dead windows to ``lastw = index // W`` so their DMAs are elided;
+    ks/vs [1,1,hb,W] f32.  Outputs: o [1,hb,D] ctx; ko/vo [1,1,hb,D,W] and
     kso/vso [1,1,hb,W] — the write-back window containing slot ``index``
-    (aliased onto the cache arrays)."""
+    (aliased onto the cache arrays).  acc/m/l: VMEM scratch carrying the
+    flash-style running context / max / normalizer across window steps."""
     index = s_ref[1]
+    w = pl.program_id(2)
+    nw = pl.num_programs(2)
+    lastw = index // WRITE_WINDOW
     q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
-    kc = kc_ref[0].astype(jnp.float32)  # [hb, D] current key column
-    vc = vc_ref[0].astype(jnp.float32)
     hb, D = q.shape
-    Tp = k_ref.shape[4]
     W = WRITE_WINDOW
 
-    # ---- quantize the current column (for FUTURE steps' reads) ----
-    # kept f32 until the windowed write: Mosaic only supports minor-dim
-    # broadcasts for 32-bit types
-    ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 127.0  # [hb]
-    vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 127.0
-    kq_new = jnp.round(kc / ks_new[:, None])  # [hb, D] f32 in [-127, 127]
-    vq_new = jnp.round(vc / vs_new[:, None])
+    @pl.when(w == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    # ---- attention: past (quantized) + current (exact bf16) ----
-    k = k_ref[0, 0].astype(jnp.float32)  # [hb, D, Tp]
-    s = lax.dot_general(
-        q[:, None, :], k, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :]  # [hb, Tp]
-    s = s * ks_ref[0, 0]
-    kpos = lax.broadcasted_iota(jnp.int32, (hb, Tp), 1)
-    s = jnp.where(kpos < index, s, MASK_VALUE)
-    s_cur = jnp.sum(q * kc, axis=1)  # [hb] — the token sees itself exactly
-    m = jnp.maximum(jnp.max(s, axis=1), s_cur)  # [hb]
-    p = jnp.exp(s - m[:, None])  # [hb, Tp]
-    p_cur = jnp.exp(s_cur - m)  # [hb]
-    l = jnp.sum(p, axis=1) + p_cur
-    pv = p * vs_ref[0, 0]
-    v = v_ref[0, 0].astype(jnp.float32)  # [hb, D, Tp]
-    ctx = lax.dot_general(
-        pv[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :]  # [hb, D]
-    ctx = (ctx + p_cur[:, None] * vc) / l[:, None]
-    o_ref[0] = ctx.astype(o_ref.dtype)
+    @pl.when(w <= lastw)
+    def _accumulate():
+        k = k_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
+        s = lax.dot_general(
+            q[:, None, :], k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [hb, W]
+        s = s * ks_ref[0, 0]
+        kpos = w * W + lax.broadcasted_iota(jnp.int32, (hb, W), 1)
+        s = jnp.where(kpos < index, s, MASK_VALUE)
+        m_prev = m_ref[:, 0]  # [hb]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_new)  # [hb]
+        p = jnp.exp(s - m_new[:, None])  # [hb, W]
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        pv = p * vs_ref[0, 0]
+        v = v_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
+        ctx = lax.dot_general(
+            pv[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [hb, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + ctx
+        m_ref[:, 0] = m_new
 
-    # ---- windowed cache write-back with the new column inserted ----
-    wstart = (index // W) * W
-    col = index - wstart
-    onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
-    onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D, W), 2) == col
-    k_win = k_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
-    v_win = v_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
-    ko_ref[0, 0] = jnp.where(onehot3, kq_new[:, :, None], k_win).astype(jnp.int8)
-    vo_ref[0, 0] = jnp.where(onehot3, vq_new[:, :, None], v_win).astype(jnp.int8)
-    ks_win = ks_ref[0, 0, :, pl.ds(wstart, W)]  # [hb, W]
-    vs_win = vs_ref[0, 0, :, pl.ds(wstart, W)]
-    kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_win)
-    vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_win)
+    @pl.when(w == nw - 1)
+    def _finalize():
+        kc = kc_ref[0].astype(jnp.float32)  # [hb, D] current key column
+        vc = vc_ref[0].astype(jnp.float32)
+
+        # ---- current token attends to its exact bf16 column ----
+        s_cur = jnp.sum(q * kc, axis=1)  # [hb]
+        m_prev = m_ref[:, 0]
+        m_fin = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_fin)
+        p_cur = jnp.exp(s_cur - m_fin)
+        l_fin = l_ref[:, 0] * alpha + p_cur
+        ctx = (acc_ref[...] * alpha[:, None] + p_cur[:, None] * vc)
+        o_ref[0] = (ctx / l_fin[:, None]).astype(o_ref.dtype)
+
+        # ---- quantize the current column (for FUTURE steps' reads) ----
+        # kept f32 until the windowed write: Mosaic only supports
+        # minor-dim broadcasts for 32-bit types
+        ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 127.0
+        vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 127.0
+        kq_new = jnp.round(kc / ks_new[:, None])  # [hb, D] in [-127, 127]
+        vq_new = jnp.round(vc / vs_new[:, None])
+
+        # ---- windowed cache write-back with the new column inserted ----
+        # the resident k/v block at the final step is window
+        # min(nw - 1, lastw) == lastw: exactly the window holding `index`
+        col = index - lastw * W
+        onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+        onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D, W), 2) == col
+        k_win = k_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
+        v_win = v_ref[0, 0].astype(jnp.float32)
+        ko_ref[0, 0] = jnp.where(onehot3, kq_new[:, :, None], k_win).astype(jnp.int8)
+        vo_ref[0, 0] = jnp.where(onehot3, vq_new[:, :, None], v_win).astype(jnp.int8)
+        kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0])
+        vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0])
 
 
 def _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col, kq, vq,
@@ -207,29 +249,37 @@ def decode_attention_quant(
     assert k8.shape == (L, B, N, D, Tp) and kscale.shape == (L, B, N, Tp)
     assert Tp % WRITE_WINDOW == 0, "allocate the cache via pad_cache_len"
     scale = 1.0 / math.sqrt(D)
-    hb = head_block or pick_head_block(N, D, Tp)
+    W = WRITE_WINDOW
+    hb = head_block or pick_head_block(N, D, W)
     assert N % hb == 0
     if not interpret:
         interpret = jax.default_backend() == "cpu"
 
-    W = WRITE_WINDOW
+    nw = Tp // W
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(index, jnp.int32)])
-    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, s: (b, h, 0))
+    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, w, s: (b, h, 0))
+    # dead windows clamp to the last live window -> the pipeline sees an
+    # unchanged block index and elides the fetch (live-window streaming)
     cache_spec = pl.BlockSpec(
-        (1, 1, hb, D, Tp), lambda b, h, s: (s[0], b, h, 0, 0))
+        (1, 1, hb, D, W),
+        lambda b, h, w, s: (s[0], b, h, 0, jnp.minimum(w, s[1] // W)))
     scale_spec = pl.BlockSpec(
-        (1, 1, hb, Tp), lambda b, h, s: (s[0], b, h, 0))
+        (1, 1, hb, W),
+        lambda b, h, w, s: (s[0], b, h, jnp.minimum(w, s[1] // W)))
     win_spec = pl.BlockSpec(
-        (1, 1, hb, D, W), lambda b, h, s: (s[0], b, h, 0, s[1] // W))
+        (1, 1, hb, D, W), lambda b, h, w, s: (s[0], b, h, 0, s[1] // W))
     swin_spec = pl.BlockSpec(
-        (1, 1, hb, W), lambda b, h, s: (s[0], b, h, s[1] // W))
+        (1, 1, hb, W), lambda b, h, w, s: (s[0], b, h, s[1] // W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N // hb),
+        grid=(B, N // hb, nw),
         in_specs=[col_spec, col_spec, col_spec,
                   cache_spec, cache_spec, scale_spec, scale_spec],
         out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
+        scratch_shapes=[pltpu.VMEM((hb, D), jnp.float32),
+                        pltpu.VMEM((hb, 1), jnp.float32),
+                        pltpu.VMEM((hb, 1), jnp.float32)],
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, D), q.dtype),
@@ -281,74 +331,94 @@ def _unpack4(bf: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
-                    o_ref, ko_ref, vo_ref, kso_ref, vso_ref, *, scale):
-    """int4 flavor of _decode_kernel; same grid/specs with D/2 cache rows."""
+                    o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+                    acc_ref, m_ref, l_ref, *, scale):
+    """int4 flavor of _decode_kernel: same windowed-streaming grid with
+    D/2 packed cache rows, unpacked per window in VMEM."""
     index = s_ref[1]
+    w = pl.program_id(2)
+    nw = pl.num_programs(2)
+    lastw = index // WRITE_WINDOW
     q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
-    kc = kc_ref[0].astype(jnp.float32)
-    vc = vc_ref[0].astype(jnp.float32)
     hb, D = q.shape
     D2 = D // 2
-    Tp = k_ref.shape[4]
     W = WRITE_WINDOW
 
-    # ---- quantize + pack the current column ----
-    ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 7.0  # [hb]
-    vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 7.0
-    kq = jnp.clip(jnp.round(kc / ks_new[:, None]), -7.0, 7.0)  # [hb, D]
-    vq = jnp.clip(jnp.round(vc / vs_new[:, None]), -7.0, 7.0)
+    @pl.when(w == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
-    def _pack(x):  # [hb, D] -> [hb, D2]; lax slices (gather-free, Mosaic)
-        hi = lax.slice_in_dim(x, 0, D2, axis=1)
-        lo = lax.slice_in_dim(x, D2, D, axis=1)
-        return 16.0 * hi + (lo + 8.0)
+    @pl.when(w <= lastw)
+    def _accumulate():
+        kf = k_ref[0, 0].astype(jnp.float32)  # [hb, D2, W] packed bytes
+        k_hi, k_lo = _unpack4(kf)
+        # lax.slice_in_dim, not q[:, :D2]: jnp fancy-slicing lowers to a
+        # gather Mosaic has no rule for at these shapes
+        q_hi = lax.slice_in_dim(q, 0, D2, axis=1)[:, None, :]  # [hb, 1, D2]
+        q_lo = lax.slice_in_dim(q, D2, D, axis=1)[:, None, :]
+        s = (
+            lax.dot_general(q_hi, k_hi, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+            + lax.dot_general(q_lo, k_lo, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+        )[:, 0, :]  # [hb, W]
+        s = s * ks_ref[0, 0]
+        kpos = w * W + lax.broadcasted_iota(jnp.int32, (hb, W), 1)
+        s = jnp.where(kpos < index, s, MASK_VALUE)
+        m_prev = m_ref[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        pv = p * vs_ref[0, 0]
+        vf = v_ref[0, 0].astype(jnp.float32)
+        v_hi, v_lo = _unpack4(vf)
+        ctx_hi = lax.dot_general(pv[:, None, :], v_hi,
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)[:, 0, :]
+        ctx_lo = lax.dot_general(pv[:, None, :], v_lo,
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)[:, 0, :]
+        ctx = jnp.concatenate([ctx_hi, ctx_lo], axis=1)  # [hb, D]
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + ctx
+        m_ref[:, 0] = m_new
 
-    kq_pack = _pack(kq)
-    vq_pack = _pack(vq)
+    @pl.when(w == nw - 1)
+    def _finalize():
+        kc = kc_ref[0].astype(jnp.float32)
+        vc = vc_ref[0].astype(jnp.float32)
+        s_cur = jnp.sum(q * kc, axis=1)
+        m_prev = m_ref[:, 0]
+        m_fin = jnp.maximum(m_prev, s_cur)
+        alpha = jnp.exp(m_prev - m_fin)
+        p_cur = jnp.exp(s_cur - m_fin)
+        l_fin = l_ref[:, 0] * alpha + p_cur
+        ctx = acc_ref[...] * alpha[:, None] + p_cur[:, None] * vc
+        o_ref[0] = (ctx / l_fin[:, None]).astype(o_ref.dtype)
 
-    # ---- attention over the packed past + exact current ----
-    kf = k_ref[0, 0].astype(jnp.float32)  # [hb, D2, Tp] packed bytes
-    k_hi, k_lo = _unpack4(kf)
-    # lax.slice_in_dim, not q[:, :D2]: jnp fancy-slicing lowers to a
-    # gather Mosaic has no rule for at these shapes
-    q_hi = lax.slice_in_dim(q, 0, D2, axis=1)[:, None, :]  # [hb, 1, D2]
-    q_lo = lax.slice_in_dim(q, D2, D, axis=1)[:, None, :]
-    s = (
-        lax.dot_general(q_hi, k_hi, (((2,), (1,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-        + lax.dot_general(q_lo, k_lo, (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32)
-    )[:, 0, :]  # [hb, Tp]
-    s = s * ks_ref[0, 0]
-    kpos = lax.broadcasted_iota(jnp.int32, (hb, Tp), 1)
-    s = jnp.where(kpos < index, s, MASK_VALUE)
-    s_cur = jnp.sum(q * kc, axis=1)
-    m = jnp.maximum(jnp.max(s, axis=1), s_cur)
-    p = jnp.exp(s - m[:, None])
-    p_cur = jnp.exp(s_cur - m)
-    l = jnp.sum(p, axis=1) + p_cur
-    pv = p * vs_ref[0, 0]
-    vf = v_ref[0, 0].astype(jnp.float32)
-    v_hi, v_lo = _unpack4(vf)
-    ctx_hi = lax.dot_general(pv[:, None, :], v_hi, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)[:, 0, :]
-    ctx_lo = lax.dot_general(pv[:, None, :], v_lo, (((2,), (2,)), ((0,), (0,))),
-                             preferred_element_type=jnp.float32)[:, 0, :]
-    ctx = jnp.concatenate([ctx_hi, ctx_lo], axis=1)  # [hb, D]
-    ctx = (ctx + p_cur[:, None] * vc) / l[:, None]
-    o_ref[0] = ctx.astype(o_ref.dtype)
+        # ---- quantize + pack the current column ----
+        ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 7.0
+        vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 7.0
+        kq = jnp.clip(jnp.round(kc / ks_new[:, None]), -7.0, 7.0)  # [hb, D]
+        vq = jnp.clip(jnp.round(vc / vs_new[:, None]), -7.0, 7.0)
 
-    # ---- windowed write-back ----
-    wstart = (index // W) * W
-    col = index - wstart
-    onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
-    onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
-    k_win = k_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
-    v_win = v_ref[0, 0, :, :, pl.ds(wstart, W)].astype(jnp.float32)
-    ko_ref[0, 0] = jnp.where(onehot3, kq_pack[:, :, None], k_win).astype(jnp.int8)
-    vo_ref[0, 0] = jnp.where(onehot3, vq_pack[:, :, None], v_win).astype(jnp.int8)
-    kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0, :, pl.ds(wstart, W)])
-    vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0, :, pl.ds(wstart, W)])
+        def _pack(x):  # [hb, D] -> [hb, D2]; lax slices (gather-free)
+            hi = lax.slice_in_dim(x, 0, D2, axis=1)
+            lo = lax.slice_in_dim(x, D2, D, axis=1)
+            return 16.0 * hi + (lo + 8.0)
+
+        # ---- windowed write-back (resident block == window lastw) ----
+        col = index - lastw * W
+        onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+        onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
+        k_win = k_ref[0, 0].astype(jnp.float32)
+        v_win = v_ref[0, 0].astype(jnp.float32)
+        ko_ref[0, 0] = jnp.where(onehot3, _pack(kq)[:, :, None], k_win).astype(jnp.int8)
+        vo_ref[0, 0] = jnp.where(onehot3, _pack(vq)[:, :, None], v_win).astype(jnp.int8)
+        kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0])
+        vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0])
 
 
 def decode_attention_quant4(
@@ -378,33 +448,38 @@ def decode_attention_quant4(
     assert D2 == D // 2 and kscale.shape == (L, B, N, Tp)
     assert Tp % WRITE_WINDOW == 0
     scale = 1.0 / math.sqrt(D)
+    W = WRITE_WINDOW
     # budget on the UNPACKED f32 footprint, not the packed bytes: each
     # packed byte becomes two f32 lanes (8x), so size the head block as if
-    # elements were 2*D wide — else hb=40 at cogview-base scope-OOMs VMEM
-    # (measured: 19MB > the 16MB scoped limit)
-    hb = head_block or pick_head_block(N, 2 * D, Tp)
+    # elements were 2*D wide (per resident 128-token window)
+    hb = head_block or pick_head_block(N, 2 * D, W)
     assert N % hb == 0
     if not interpret:
         interpret = jax.default_backend() == "cpu"
 
-    W = WRITE_WINDOW
+    nw = Tp // W
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(index, jnp.int32)])
-    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, s: (b, h, 0))
+    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, w, s: (b, h, 0))
     cache_spec = pl.BlockSpec(
-        (1, 1, hb, D2, Tp), lambda b, h, s: (s[0], b, h, 0, 0))
+        (1, 1, hb, D2, W),
+        lambda b, h, w, s: (s[0], b, h, 0, jnp.minimum(w, s[1] // W)))
     scale_spec = pl.BlockSpec(
-        (1, 1, hb, Tp), lambda b, h, s: (s[0], b, h, 0))
+        (1, 1, hb, W),
+        lambda b, h, w, s: (s[0], b, h, jnp.minimum(w, s[1] // W)))
     win_spec = pl.BlockSpec(
-        (1, 1, hb, D2, W), lambda b, h, s: (s[0], b, h, 0, s[1] // W))
+        (1, 1, hb, D2, W), lambda b, h, w, s: (s[0], b, h, 0, s[1] // W))
     swin_spec = pl.BlockSpec(
-        (1, 1, hb, W), lambda b, h, s: (s[0], b, h, s[1] // W))
+        (1, 1, hb, W), lambda b, h, w, s: (s[0], b, h, s[1] // W))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N // hb),
+        grid=(B, N // hb, nw),
         in_specs=[col_spec, col_spec, col_spec,
                   cache_spec, cache_spec, scale_spec, scale_spec],
         out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
+        scratch_shapes=[pltpu.VMEM((hb, D), jnp.float32),
+                        pltpu.VMEM((hb, 1), jnp.float32),
+                        pltpu.VMEM((hb, 1), jnp.float32)],
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, D), q.dtype),

@@ -120,7 +120,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
                 *, bq, bk, sep, s_actual, scale, rate):
     qi = pl.program_id(2)
     bn = _kernel_bn()
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale  # [bq, D]
+    # dots run on the MXU in the INPUT dtype (bf16 in production) with f32
+    # accumulation — an fp32xfp32 MXU dot costs ~4x the bf16 passes and was
+    # measured to be why flash lost to XLA's (bf16) dense attention at
+    # S=1089.  Softmax stays f32.
+    q = q_ref[0, 0, :, :]  # [bq, D]
     sk_pad = k_ref.shape[2]
     nkb = sk_pad // bk
 
@@ -130,9 +134,9 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
 
     def body(kb, carry):
         m, l, acc = carry
-        k = k_ref[0, 0, pl.ds(kb * bk, bk), :].astype(jnp.float32)  # [bk, D]
-        v = v_ref[0, 0, pl.ds(kb * bk, bk), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k = k_ref[0, 0, pl.ds(kb * bk, bk), :]  # [bk, D]
+        v = v_ref[0, 0, pl.ds(kb * bk, bk), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
         s = jnp.where(mask, s, MASK_VALUE)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -144,7 +148,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
         if rate > 0.0:
             keep = _block_keep(seed_ref, bn, qi, kb, bq, bk, rate)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     # blocks up to the diagonal contribute, plus the bidirectional prefix
@@ -165,19 +170,21 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, *, bq, bk, sep, s_actual, scale, rate):
     qi = pl.program_id(2)
     bn = _kernel_bn()
-    q = q_ref[0, 0, :, :].astype(jnp.float32)
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    # dots in input dtype (bf16 in production) with f32 accumulation —
+    # matches the precision of XLA's dense-attention backward
+    q = q_ref[0, 0, :, :]
+    do = do_ref[0, 0, :, :]
     lse = lse_ref[0, 0, :, :]  # [bq,1]
     delta = delta_ref[0, 0, :, :]
     sk_pad = k_ref.shape[2]
     nkb = sk_pad // bk
 
-    dq = jnp.zeros_like(q)
+    dq = jnp.zeros((bq, q.shape[-1]), jnp.float32)
 
     def body(kb, dq):
-        k = k_ref[0, 0, pl.ds(kb * bk, bk), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kb * bk, bk), :].astype(jnp.float32)
-        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, 0, pl.ds(kb * bk, bk), :]
+        v = v_ref[0, 0, pl.ds(kb * bk, bk), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
         s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
@@ -188,7 +195,8 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         else:
             pd = p
         ds = (pd * dp - p * delta) * scale
-        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        return dq + jnp.dot(ds.astype(k.dtype), k,
+                            preferred_element_type=jnp.float32)
 
     sep_blocks = -(-sep // bk)  # prefix keys are visible past the diagonal
     last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
@@ -200,21 +208,21 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, *, bq, bk, sep, s_actual, scale, rate):
     ki = pl.program_id(2)
     bn = _kernel_bn()
-    k = k_ref[0, 0, :, :].astype(jnp.float32)  # [bk, D]
-    v = v_ref[0, 0, :, :].astype(jnp.float32)
+    k = k_ref[0, 0, :, :]  # [bk, D]
+    v = v_ref[0, 0, :, :]
     sq_pad = q_ref.shape[2]
     nqb = sq_pad // bq
 
-    dk = jnp.zeros_like(k)
-    dv = jnp.zeros_like(v)
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qb * bq, bq), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qb * bq, bq), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qb * bq, bq), :]
+        do = do_ref[0, 0, pl.ds(qb * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(qb * bq, bq), :]
         delta = delta_ref[0, 0, pl.ds(qb * bq, bq), :]
-        s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         mask = _causal_block_mask(qb, ki, bq, bk, sep, s_actual)
         s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
@@ -223,10 +231,12 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             pd = jnp.where(keep, p / (1.0 - rate), 0.0)
         else:
             pd = p
-        dv = dv + jnp.dot(pd.T, do, preferred_element_type=jnp.float32)
+        dv = dv + jnp.dot(pd.astype(do.dtype).T, do,
+                          preferred_element_type=jnp.float32)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = (pd * dp - p * delta) * scale
-        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        dk = dk + jnp.dot(ds.astype(q.dtype).T, q,
+                          preferred_element_type=jnp.float32)
         return dk, dv
 
     # q-blocks at or after this k-block's diagonal — unless this k-block
