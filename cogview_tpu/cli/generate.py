@@ -72,11 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "stream; ~1e-2 relative logit error)")
     m.add_argument("--kv-cache", default="int8",
                    choices=["int8", "int4", "bfloat16"],
-                   help="decode KV cache: int8 (fused Pallas kernel, ~2x "
-                        "decode batch per chip), int4 (packed nibbles, "
-                        "another 2x batch but ~16x the int8 rounding error "
-                        "— opt-in, quality not validated against released "
-                        "weights), or bfloat16 (exact)")
+                   help="decode KV cache. DEFAULT is int8 (fused Pallas "
+                        "kernel, ~2x decode batch per chip) — note released "
+                        "weights are absent from this environment, so its "
+                        "quality is validated only via the relative proxy "
+                        "in scripts/kv_quality_check.py (per-step logit KL "
+                        "vs the exact cache), not against published FID. "
+                        "int4 = packed nibbles, another 2x batch, ~16x the "
+                        "int8 rounding error (opt-in). bfloat16 = exact "
+                        "(pass this for maximum-fidelity generation)")
 
     s = p.add_argument_group("sampling")
     s.add_argument("--batch-size", type=int, default=4,

@@ -62,6 +62,13 @@ def build_parser():
     t.add_argument("--model-parallel-size", type=int, default=1)
     t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
                    help="1 = pivot+window sparse attention for training")
+    t.add_argument("--max-memory-length", type=int, default=0,
+                   help="transformer-XL-style rolling memory of layer "
+                        "hidden states threaded across training batches "
+                        "(reference arguments.py:268; its shipped scripts "
+                        "use 0).  Each batch continues the previous one "
+                        "as a segment; mems are detached (no gradient "
+                        "through the memory)")
     t.add_argument("--dual-positions", action="store_true",
                    help="dual-segment position ids restarting at [ROI2] "
                         "(super-resolution finetuning)")
@@ -276,6 +283,7 @@ def main(argv=None) -> int:
             remat=args.checkpoint_activations,
             is_sparse=bool(args.is_sparse),
             dual_positions_roi2=(tokenizer["[ROI2]"] if args.dual_positions else None),
+            max_memory_length=args.max_memory_length,
             **extra,
         )
         eval_loss = jax.jit(
@@ -294,6 +302,7 @@ def main(argv=None) -> int:
         known_paths = set(args.train_data or ())
         data_iter = iter(train_it)
         eval_batches = None  # created lazily, reused across eval intervals
+        mems = None  # rolling memory (--max-memory-length > 0)
         log_loss, log_img, log_txt, t_last = 0.0, 0.0, 0.0, time.time()
 
         while iteration < args.train_iters:
@@ -312,7 +321,10 @@ def main(argv=None) -> int:
 
             timers("train step").start()
             rng, sub = jax.random.split(rng)
-            state, metrics = step(state, batch, sub)
+            if args.max_memory_length > 0:
+                state, metrics, mems = step(state, batch, sub, mems)
+            else:
+                state, metrics = step(state, batch, sub)
             timers("train step").stop()
 
             iteration += 1

@@ -72,6 +72,11 @@ class GPTConfig:
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0
+        # every entry point (bench modes, CLIs, tests) funnels through this
+        # config, so a typo like "int08" fails here instead of silently
+        # falling through init_cache's else-branch to a bfloat16 cache
+        assert self.kv_cache_dtype in ("bfloat16", "int8", "int4"), (
+            f"kv_cache_dtype={self.kv_cache_dtype!r}: use bfloat16|int8|int4")
 
     @property
     def head_dim(self) -> int:

@@ -100,6 +100,34 @@ def make_pad_fn(tokenizer, max_len: int):
     return pad_to_len
 
 
+class LMDBDataset:
+    """Live reads of a reference pickled-LMDB corpus through the
+    from-scratch B-tree reader (data/lmdb_io.py) — the reference's
+    LMDBDataset (datasets.py:34-61) without liblmdb and without an import
+    step.  Rows are pickled under ``str(i)`` keys with a ``'length'``
+    row-count key."""
+
+    def __init__(self, path: str, process_fn, **_):
+        from .lmdb_io import LMDBCorpusReader
+
+        self.reader = LMDBCorpusReader(path)
+        self.process_fn = process_fn
+
+    def __len__(self):
+        return len(self.reader)
+
+    def __getitem__(self, index):
+        return self.process_fn(self.reader[index])
+
+
+def is_lmdb_path(path: str) -> bool:
+    """An LMDB environment: a data.mdb file, or a directory holding one
+    (the reference opens such dirs via lmdb.open, datasets.py:36)."""
+    if path.endswith(".mdb") and os.path.isfile(path):
+        return True
+    return os.path.isdir(path) and os.path.isfile(os.path.join(path, "data.mdb"))
+
+
 def get_dataset_by_type(
     dataset_type: str,
     path: str,
@@ -108,6 +136,7 @@ def get_dataset_by_type(
     **kwargs,
 ):
     pad_to_len = make_pad_fn(tokenizer, max_len)
+    lmdb = is_lmdb_path(path)
 
     def as_sample(ret):
         ret, sep = pad_to_len(ret)
@@ -119,9 +148,19 @@ def get_dataset_by_type(
         def process_fn(row):
             return as_sample(np.asarray(row).flatten())
 
+        if lmdb:
+            return LMDBDataset(path, process_fn)
         return IndexedDataset(path, process_fn, **kwargs)
 
     if dataset_type == "TextCodeDataset":
+        if lmdb:
+            # reference LMDB rows are pickled (text, code) pairs
+            def process_fn(row):
+                text, code = row[0], np.asarray(row[1], np.int64).flatten()
+                return as_sample(TextCodeTemplate(tokenizer, text, code))
+
+            return LMDBDataset(path, process_fn)
+
         # rows alternate (text ids..., -1 separator, code ids...) in our
         # indexed format; the reference stored (text, code) pickled pairs
         def process_fn(row):
@@ -141,6 +180,8 @@ def get_dataset_by_type(
             text = text[text > -1]
             return as_sample(TextCodeTemplate(tokenizer, text, code))
 
+        if lmdb:  # same row convention, LMDB-resident (hot-reload path)
+            return LMDBDataset(path, process_fn)
         return BinaryDataset(path, process_fn, **kwargs)
 
     raise ValueError(f"unknown dataset type {dataset_type}")

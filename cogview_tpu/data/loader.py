@@ -33,7 +33,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from .datasets import get_dataset_by_type
+from .datasets import get_dataset_by_type, is_lmdb_path
 
 
 @dataclasses.dataclass
@@ -213,7 +213,10 @@ def detect_new_datasets(cfg: DataConfig, tokenizer, known_paths: set):
     The polled pattern follows ``cfg.dataset_type``: CompactBinary
     corpora are flat ``*.bin`` files; Tokenized/TextCode corpora are
     IndexedDatasets addressed by base path (``<base>.bin`` +
-    ``<base>.idx.npy``)."""
+    ``<base>.idx.npy``).  LMDB environments (dirs holding a data.mdb, or
+    bare ``*.mdb``/``*lmdb`` entries — the reference watched entries
+    ending 'lmdb', configure_data.py:302-305) are detected in every mode
+    and read directly through data/lmdb_io.py, no import step."""
     if not cfg.train_data:
         return None, known_paths
     base = os.path.dirname(cfg.train_data[0])
@@ -225,6 +228,8 @@ def detect_new_datasets(cfg: DataConfig, tokenizer, known_paths: set):
             for p in glob.glob(os.path.join(base, "*.idx.npy"))
             if os.path.exists(p[: -len(".idx.npy")] + ".bin")
         }
+    found |= {p for p in glob.glob(os.path.join(base, "*"))
+              if is_lmdb_path(p)}
     current = set(known_paths)
     if found - current:
         paths = sorted(current | found)

@@ -26,6 +26,22 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
+def _np_keep(t) -> np.ndarray:
+    """Tensor -> numpy PRESERVING dtype (fp16 stays fp16; bf16 crosses via
+    a bit-pattern view into ml_dtypes.bfloat16, which numpy lacks).  At 4B
+    scale the fp32 round-trip of ``_np`` alone doubles peak host RSS."""
+    import torch
+
+    if not isinstance(t, torch.Tensor):
+        return np.asarray(t)
+    t = t.detach().cpu()
+    if t.dtype == torch.bfloat16:
+        import ml_dtypes
+
+        return t.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+    return t.numpy()
+
+
 def strip_module_prefix(sd: Mapping[str, Any]) -> Dict[str, Any]:
     if sd and next(iter(sd)).startswith("module."):
         return {k[len("module.") :]: v for k, v in sd.items()}
@@ -91,9 +107,11 @@ def load_vqvae_checkpoint(path: str) -> Dict[str, Any]:
 # --------------------------------------------------------------------- #
 
 def gpt_from_state_dict(
-    sd: Mapping[str, Any], num_layers: int, num_heads: int
+    sd: Mapping[str, Any], num_layers: int, num_heads: int,
+    dtype=None, consume: bool = False,
 ) -> Dict[str, Any]:
-    """Megatron-style GPT2Model state_dict -> cogview_tpu GPT params.
+    """Megatron-style GPT2Model state_dict -> cogview_tpu GPT params,
+    converted one tensor at a time with the STORED precision preserved.
 
     Source layout (model/gpt2_modeling.py + mpu/sparse_transformer.py):
       word_embeddings.weight                     [V, H]
@@ -108,35 +126,66 @@ def gpt_from_state_dict(
 
     Target: stacked [L, ...] arrays (scan-over-layers), matrices as
     [in, out], fused qkv as [H, 3, H] so head-sharding slices the last dim.
+
+    Memory contract (the released 4B ``.pt`` is 7.8 GB fp16): each stacked
+    leaf is PREALLOCATED in the stored dtype and filled layer by layer;
+    with ``consume=True`` every source tensor is dropped from ``sd`` the
+    moment it is copied, so peak host RSS stays ~= one copy of the weights
+    plus a single layer slice (<= ~1.2x the file with a mmap'd
+    ``torch.load``; the old fp32 np.stack built a second, DOUBLE-width
+    tree on top of torch's copy — ~24 GB transient).  ``dtype`` forces a
+    target dtype (e.g. np.float32 for fp32 tooling); default keeps fp16
+    fp16.
     """
-    sd = strip_module_prefix(sd)
-    word = _np(sd["word_embeddings.weight"])
+    if consume and isinstance(sd, dict):
+        # re-key IN PLACE: a stripped copy would keep every tensor alive
+        # through the caller's dict, defeating the per-tensor free
+        if sd and next(iter(sd)).startswith("module."):
+            for k in list(sd.keys()):
+                sd[k[len("module."):]] = sd.pop(k)
+    else:
+        sd = strip_module_prefix(sd)
+    cast = (lambda a: a) if dtype is None else (lambda a: a.astype(dtype))
+
+    def take(key):
+        t = cast(_np_keep(sd[key]))
+        if consume:
+            del sd[key]
+        return t
+
+    word = take("word_embeddings.weight")
     hidden = word.shape[1]
 
     def stack(fmt, transform):
-        return np.stack(
-            [transform(sd[fmt.format(i)]) for i in range(num_layers)], axis=0
-        )
+        """Preallocate [L, ...] and fill per layer (no 48-tensor staging)."""
+        first = transform(take(fmt.format(0)))
+        out = np.empty((num_layers,) + first.shape, first.dtype)
+        out[0] = first
+        del first
+        for i in range(1, num_layers):
+            out[i] = transform(take(fmt.format(i)))
+        return out
 
-    def lin_w(t):  # torch Linear [out, in] -> [in, out]
-        return _np(t).T
+    def lin_w(a):  # torch Linear [out, in] -> [in, out]
+        return a.T
 
-    def qkv_w(t):
+    def qkv_w(a):
         # ColumnParallelLinear(3H, stride=3) at mp=1 stores rows as
         # [q(H); k(H); v(H)] along the output dim -> [in=H, 3, H]
-        w = _np(t).T  # [H, 3H]
-        return w.reshape(hidden, 3, hidden)
+        return a.T.reshape(hidden, 3, hidden)
 
-    def qkv_b(t):
-        return _np(t).reshape(3, hidden)
+    def qkv_b(a):
+        return a.reshape(3, hidden)
 
+    ident = lambda a: a
     L = "transformer.layers.{}"
     params = {
-        "embed": {"word": word, "pos": _np(sd["transformer.position_embeddings.weight"])},
+        "embed": {"word": word,
+                  "pos": take("transformer.position_embeddings.weight")},
         "layers": {
             "ln_in": {
-                "g": stack(L + ".input_layernorm.weight", _np),
-                "b": stack(L + ".input_layernorm.bias", _np),
+                "g": stack(L + ".input_layernorm.weight", ident),
+                "b": stack(L + ".input_layernorm.bias", ident),
             },
             "qkv": {
                 "w": stack(L + ".attention.query_key_value.weight", qkv_w),
@@ -144,46 +193,59 @@ def gpt_from_state_dict(
             },
             "attn_out": {
                 "w": stack(L + ".attention.dense.weight", lin_w),
-                "b": stack(L + ".attention.dense.bias", _np),
+                "b": stack(L + ".attention.dense.bias", ident),
             },
             "ln_attn": {  # third_layernorm (sandwich, after attention)
-                "g": stack(L + ".third_layernorm.weight", _np),
-                "b": stack(L + ".third_layernorm.bias", _np),
+                "g": stack(L + ".third_layernorm.weight", ident),
+                "b": stack(L + ".third_layernorm.bias", ident),
             },
             "ln_post": {
-                "g": stack(L + ".post_attention_layernorm.weight", _np),
-                "b": stack(L + ".post_attention_layernorm.bias", _np),
+                "g": stack(L + ".post_attention_layernorm.weight", ident),
+                "b": stack(L + ".post_attention_layernorm.bias", ident),
             },
             "mlp_in": {
                 "w": stack(L + ".mlp.dense_h_to_4h.weight", lin_w),
-                "b": stack(L + ".mlp.dense_h_to_4h.bias", _np),
+                "b": stack(L + ".mlp.dense_h_to_4h.bias", ident),
             },
             "mlp_out": {
                 "w": stack(L + ".mlp.dense_4h_to_h.weight", lin_w),
-                "b": stack(L + ".mlp.dense_4h_to_h.bias", _np),
+                "b": stack(L + ".mlp.dense_4h_to_h.bias", ident),
             },
             "ln_mlp": {  # fourth_layernorm (sandwich, after MLP)
-                "g": stack(L + ".fourth_layernorm.weight", _np),
-                "b": stack(L + ".fourth_layernorm.bias", _np),
+                "g": stack(L + ".fourth_layernorm.weight", ident),
+                "b": stack(L + ".fourth_layernorm.bias", ident),
             },
         },
         "ln_final": {
-            "g": _np(sd["transformer.final_layernorm.weight"]),
-            "b": _np(sd["transformer.final_layernorm.bias"]),
+            "g": take("transformer.final_layernorm.weight"),
+            "b": take("transformer.final_layernorm.bias"),
         },
     }
     return params
 
 
-def load_gpt_checkpoint(path: str, num_layers: int, num_heads: int) -> Dict[str, Any]:
+def load_gpt_checkpoint(path: str, num_layers: int, num_heads: int,
+                        dtype=None) -> Dict[str, Any]:
     """Load a DeepSpeed mp_rank_00_model_states.pt (generate_samples.py:56-61)
-    or a plain module checkpoint (utils.py:203-220)."""
+    or a plain module checkpoint (utils.py:203-220).
+
+    Streams: ``torch.load(mmap=True)`` where the zip format allows (tensor
+    pages fault in on first touch and are dropped after the per-tensor
+    copy), every tensor is consumed out of the state_dict as it converts,
+    and the stored dtype is preserved — peak RSS <= ~1.2x the file size
+    for the 4B fp16 artifact instead of the old ~3x fp32 round-trip."""
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False,
+                          mmap=True)
+    except (TypeError, RuntimeError):
+        # legacy (non-zip) serialization has no mmap path
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("module", "model"):
             if key in ckpt and isinstance(ckpt[key], dict):
                 ckpt = ckpt[key]
                 break
-    return gpt_from_state_dict(ckpt, num_layers, num_heads)
+    return gpt_from_state_dict(ckpt, num_layers, num_heads, dtype=dtype,
+                               consume=True)

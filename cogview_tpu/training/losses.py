@@ -98,9 +98,16 @@ def lm_loss(
         params, cfg, tokens, position_ids=position_ids, train=train, rng=rng,
         remat=remat, sparse=sparse,
     )
+    loss, metrics = _split_losses(logits, labels, lmask, img_ind, txt_ind,
+                                  txt_loss_scale)
+    return loss, metrics
+
+
+def _split_losses(logits, labels, lmask, img_ind, txt_ind, txt_loss_scale):
+    """Masked mean CE + the reference's separate img/txt loss report
+    (pretrain_gpt2.py:313-341)."""
     ce = cross_entropy_logits(logits, labels)
     losses = ce * lmask
-
     denom = jnp.maximum(jnp.sum(lmask), 1.0)
     loss = jnp.sum(losses) / denom
     img_loss = jnp.sum(losses * img_ind) / jnp.maximum(jnp.sum(img_ind), 1.0)
@@ -108,3 +115,45 @@ def lm_loss(
         jnp.sum(losses * txt_ind) / jnp.maximum(jnp.sum(txt_ind), 1.0)
     ) / txt_loss_scale
     return loss, {"lm_loss": loss, "img_loss": img_loss, "txt_loss": txt_loss}
+
+
+def lm_loss_with_mems(
+    params,
+    cfg: GPTConfig,
+    batch: Dict[str, jax.Array],
+    mems: Optional[jax.Array],  # [L+1, B, M, H] from the previous segment
+    *,
+    max_memory_length: int,
+    img_vocab: int = 8192,
+    txt_loss_scale: float = 1.0,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+    remat: bool = True,
+    position_ids: Optional[jax.Array] = None,
+    dual_positions_roi2: Optional[int] = None,
+) -> Tuple[jax.Array, Tuple[Dict[str, jax.Array], jax.Array]]:
+    """lm_loss over gpt.forward_with_mems — the training-driver mems path
+    (reference --max-memory-length, arguments.py:268 + forward_step
+    threading mems across iterations, pretrain_gpt2.py:292-341, 497-513).
+    Each batch is treated as the continuation segment of the previous one,
+    exactly as the reference does.  -> (loss, (metrics, new_mems)); the
+    returned mems are detached (update_mems stop_gradients them)."""
+    text = batch["text"].astype(jnp.int32)
+    mask = batch["loss_mask"].astype(jnp.float32)
+    tokens = text[:, :-1]
+    labels = text[:, 1:]
+    lmask = mask[:, 1:]
+    img_ind = tokens < img_vocab
+    txt_ind = (~img_ind) & (lmask > 0)
+    lmask = jnp.where(txt_ind, lmask * txt_loss_scale, lmask)
+    if position_ids is None and dual_positions_roi2 is not None:
+        position_ids = dual_position_ids(
+            tokens, dual_positions_roi2, cfg.max_position_embeddings
+        )
+    logits, new_mems = gpt.forward_with_mems(
+        params, cfg, tokens, mems, max_memory_length=max_memory_length,
+        position_ids=position_ids, train=train, rng=rng, remat=remat,
+    )
+    loss, metrics = _split_losses(logits, labels, lmask, img_ind, txt_ind,
+                                  txt_loss_scale)
+    return loss, (metrics, new_mems)

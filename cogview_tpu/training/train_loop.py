@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import GPTConfig
-from .losses import lm_loss
+from .losses import lm_loss, lm_loss_with_mems
 from .loss_scaler import (LossScaleState, init_loss_scale, unscale_grads,
                           update_loss_scale)
 from ..utils.rng import rbg_key
@@ -50,8 +50,22 @@ def make_train_step(
     donate: bool = True,
     is_sparse: bool = False,
     dual_positions_roi2=None,
+    max_memory_length: int = 0,
 ):
-    """-> jitted train_step(state, batch, rng) -> (state, metrics)."""
+    """-> jitted train_step(state, batch, rng) -> (state, metrics).
+
+    ``max_memory_length > 0`` switches the loss to the transformer-XL mems
+    path (reference --max-memory-length, arguments.py:268): the step then
+    takes and returns the rolling memory —
+    ``train_step(state, batch, rng, mems) -> (state, metrics, new_mems)``
+    with ``mems=None`` on the first call.  The memory grows to its cap
+    over the first ceil(cap/S) steps (each distinct length compiles once,
+    exactly as many shapes as the reference's dynamic python loop visits).
+    Mems advance even on a NaN-skipped step (the reference returns them
+    from forward_step before the skip decision, pretrain_gpt2.py:412-417).
+    """
+    assert not (is_sparse and max_memory_length), \
+        "sparse training attention has no mems path (reference trains sparse with --max-memory-length 0)"
 
     def loss_fn(params, batch, rng):
         return lm_loss(
@@ -61,11 +75,15 @@ def make_train_step(
             dual_positions_roi2=dual_positions_roi2,
         )
 
-    def step_fn(state: TrainState, batch, rng):
-        rng = rbg_key(rng)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng
+    def mems_loss_fn(params, batch, rng, mems):
+        return lm_loss_with_mems(
+            params, cfg, batch, mems, max_memory_length=max_memory_length,
+            img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
+            rng=rng, train=True, remat=remat,
+            dual_positions_roi2=dual_positions_roi2,
         )
+
+    def _apply(state, loss, metrics, grads):
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
 
@@ -84,6 +102,22 @@ def make_train_step(
         metrics = dict(metrics, grad_norm=gnorm, skipped=(~finite).astype(jnp.int32))
         return state, metrics
 
+    def step_fn(state: TrainState, batch, rng):
+        rng = rbg_key(rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng
+        )
+        return _apply(state, loss, metrics, grads)
+
+    def mems_step_fn(state: TrainState, batch, rng, mems):
+        rng = rbg_key(rng)
+        (loss, (metrics, new_mems)), grads = jax.value_and_grad(
+            mems_loss_fn, has_aux=True)(state["params"], batch, rng, mems)
+        state, metrics = _apply(state, loss, metrics, grads)
+        return state, metrics, new_mems
+
+    if max_memory_length > 0:
+        return jax.jit(mems_step_fn, donate_argnums=(0,) if donate else ())
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
@@ -106,6 +140,7 @@ def make_fp16_train_step(
     donate: bool = True,
     is_sparse: bool = False,
     dual_positions_roi2=None,
+    max_memory_length: int = 0,
     scale_factor: float = 2.0,
     scale_window: int = 1000,
     min_scale: float = 1.0,
@@ -122,24 +157,37 @@ def make_fp16_train_step(
     all-reduce at fp16/loss_scaler.py:114-123).
 
     State must come from ``init_fp16_train_state`` (adds 'loss_scale').
-    -> jitted train_step(state, batch, rng) -> (state, metrics).
+    -> jitted train_step(state, batch, rng) -> (state, metrics), or with
+    ``max_memory_length > 0`` the mems-threading signature documented on
+    ``make_train_step``.
     """
+    assert not (is_sparse and max_memory_length), \
+        "sparse training attention has no mems path"
     cfg = cfg.replace(compute_dtype=jnp.float16)
 
-    def loss_fn(params, batch, rng, scale):
+    def loss_fn(params, batch, rng, scale, mems=None):
+        if max_memory_length > 0:
+            loss, (metrics, new_mems) = lm_loss_with_mems(
+                params, cfg, batch, mems,
+                max_memory_length=max_memory_length,
+                img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
+                rng=rng, train=True, remat=remat,
+                dual_positions_roi2=dual_positions_roi2,
+            )
+            return loss * scale, (loss, metrics, new_mems)
         loss, metrics = lm_loss(
             params, cfg, batch,
             img_vocab=img_vocab, txt_loss_scale=txt_loss_scale,
             rng=rng, train=True, remat=remat, is_sparse=is_sparse,
             dual_positions_roi2=dual_positions_roi2,
         )
-        return loss * scale, (loss, metrics)
+        return loss * scale, (loss, metrics, None)
 
-    def step_fn(state: TrainState, batch, rng):
+    def step_fn(state: TrainState, batch, rng, mems=None):
         rng = rbg_key(rng)
         ls: LossScaleState = state["loss_scale"]
-        grads, (loss, metrics) = jax.grad(loss_fn, has_aux=True)(
-            state["params"], batch, rng, ls.scale
+        grads, (loss, metrics, new_mems) = jax.grad(loss_fn, has_aux=True)(
+            state["params"], batch, rng, ls.scale, mems
         )
         grads = unscale_grads(grads, ls)
         gnorm = optax.global_norm(grads)
@@ -169,6 +217,8 @@ def make_fp16_train_step(
         }
         metrics = dict(metrics, grad_norm=gnorm, loss_scale=new_ls.scale,
                        skipped=overflow.astype(jnp.int32))
+        if max_memory_length > 0:
+            return state, metrics, new_mems
         return state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

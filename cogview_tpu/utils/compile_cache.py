@@ -44,7 +44,13 @@ def enable_persistent_cache(path: str | None = None) -> str:
     # the platforms CONFIG, not jax.default_backend(): initializing the
     # backend this early detaches the persistent cache on the tunneled
     # runtime (measured: compile_seconds stayed ~250s across runs).
+    # When jax_platforms is unset (no axon sitecustomize pinning it), fall
+    # back to the resolved default backend so a CPU-only process is still
+    # excluded — jax.default_backend() is safe to call here because without
+    # a tunneled runtime there is no remote-compile path to detach.
     platforms = (jax.config.jax_platforms or "").split(",")[0]
+    if not platforms:
+        platforms = jax.default_backend()
     if platforms == "cpu":
         return ""
     path = path or env or DEFAULT_DIR

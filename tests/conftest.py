@@ -29,6 +29,14 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # two tiers on this 1-core box (CLAUDE.md): the default full suite, and
+    # a fast iteration tier via `-m "not slow"` (slow = oracle-parity /
+    # multi-step / CLI end-to-end tests)
+    config.addinivalue_line(
+        "markers", "slow: oracle-parity / multi-step tests (skip with -m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def eight_devices():
     import jax

@@ -131,6 +131,55 @@ def test_detect_new_indexed_datasets(tok, tmp_path):
     assert batch["text"].shape == (2, 64)
 
 
+@needs_model
+def test_detect_new_lmdb_datasets(tok, tmp_path):
+    """An LMDB environment written at runtime into the corpus dir is
+    picked up by hot-reload and read directly through the from-scratch
+    reader — VERDICT r2 item 9 (reference configure_data.py:293-310
+    watched new 'lmdb' entries)."""
+    from cogview_tpu.data.datasets import LMDBDataset, is_lmdb_path
+    from cogview_tpu.data.lmdb_io import write_reference_corpus
+    from cogview_tpu.data.loader import detect_new_datasets
+
+    rows = [np.random.RandomState(i).randint(0, 5000, 40) for i in range(16)]
+    base1 = str(tmp_path / "corpus_a")
+    IndexedDataset.write(base1, rows)
+    cfg = DataConfig(train_data=(base1,), dataset_type="TokenizedDataset",
+                     batch_size=2, split=(1.0, 0, 0), max_len=64)
+    it, known = detect_new_datasets(cfg, tok, {base1})
+    assert it is None
+
+    env = str(tmp_path / "extra_lmdb")
+    write_reference_corpus(env, rows[:8])
+    assert is_lmdb_path(env)
+    it, known = detect_new_datasets(cfg, tok, known)
+    assert it is not None and env in known
+    batch = next(iter(it))
+    assert batch["text"].shape == (2, 64)
+
+    # and the LMDB-backed dataset reads the same ids the writer stored
+    ds = LMDBDataset(env, lambda r: np.asarray(r))
+    np.testing.assert_array_equal(ds[3], rows[3])
+
+
+@needs_model
+def test_lmdb_textcode_dataset_direct(tok, tmp_path):
+    """TextCodeDataset over a reference-convention LMDB of pickled
+    (text, code) pairs — the live-read path (no import step)."""
+    from cogview_tpu.data.lmdb_io import write_reference_corpus
+
+    rng = np.random.RandomState(0)
+    pairs = [(rng.randint(8192, 20000, 6), rng.randint(0, 8192, 64))
+             for _ in range(6)]  # 64 codes = 8x8 (wrap_code needs a square)
+    env = str(tmp_path / "tc_lmdb")
+    write_reference_corpus(env, pairs)
+    ds = get_dataset_by_type("TextCodeDataset", env, tok, max_len=128)
+    assert len(ds) == 6
+    s = ds[2]
+    assert s["text"].shape == (128,) and s["loss_mask"].shape == (128,)
+    assert (s["loss_mask"] >= 0).all()
+
+
 def test_dual_segment_position_ids():
     roi2 = 99
     tokens = np.asarray([[1, 2, roi2, 5, 6], [roi2, 1, 2, 3, 4]])
@@ -141,6 +190,7 @@ def test_dual_segment_position_ids():
         dual_segment_position_ids(np.asarray([[1, 2, 3]]), roi2, 10)
 
 
+@pytest.mark.slow
 def test_training_loss_decreases(tok, tmp_path):
     """5 steps on a tiny model: loss finite and lower than at start."""
     from cogview_tpu.models import gpt
@@ -169,6 +219,7 @@ def test_training_loss_decreases(tok, tmp_path):
     assert int(state["step"]) == 6
 
 
+@pytest.mark.slow
 def test_nan_skip_guard(tok):
     """A poisoned batch must not update params (pretrain_gpt2.py:415-417)."""
     from cogview_tpu.models import gpt
@@ -198,6 +249,7 @@ def test_nan_skip_guard(tok):
     np.testing.assert_array_equal(np.asarray(state["params"]["embed"]["pos"]), before)
 
 
+@pytest.mark.slow
 def test_dual_positions_in_loss():
     """lm_loss(dual_positions_roi2=...) == lm_loss(position_ids=manual)."""
     from cogview_tpu.models import gpt

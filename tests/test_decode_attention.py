@@ -92,6 +92,7 @@ def test_pick_head_block_constraints():
     assert pick_head_block(40, 64, 1152) == 8  # cogview-base: VMEM budget
 
 
+@pytest.mark.slow
 def test_int8_cache_decode_matches_forward():
     """Prefill + token-by-token decode over the int8 cache tracks the
     monolithic forward within quantization tolerance."""
@@ -122,6 +123,7 @@ def test_int8_cache_decode_matches_forward():
     assert agree > 0.95, f"argmax agreement {agree:.2%}"
 
 
+@pytest.mark.slow
 def test_sampler_with_int8_cache():
     """filling_sequence runs end-to-end on the int8 cache: fixed template
     slots preserved, generated slots within the image vocabulary."""

@@ -92,6 +92,7 @@ def test_kernel4_matches_dense_reference(hb):
     np.testing.assert_array_equal(np.asarray(v4n[2]), np.asarray(v4[2]))
 
 
+@pytest.mark.slow
 def test_int4_cache_decode_tracks_forward():
     """Prefill + decode over the packed int4 cache tracks the monolithic
     forward at int4 tolerance (looser than int8; documented opt-in)."""

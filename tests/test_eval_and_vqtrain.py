@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # VQ training loops (~40s)
+
 import jax
 import jax.numpy as jnp
 

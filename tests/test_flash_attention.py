@@ -132,6 +132,7 @@ def test_flash_dropout_matches_dense_hash(s, sep, rate):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flash_dropout_backward_matches_dense_hash():
     s, sep, rate = 128, 20, 0.25
     q, k, v = _mk(s, seed=12)
@@ -169,6 +170,7 @@ def test_flash_dropout_seed_behavior():
     assert keepfrac > 0.1
 
 
+@pytest.mark.slow
 def test_model_forward_flash_with_dropout():
     """Training forward with flash + attention_dropout > 0 runs in-kernel
     dropout (finite, differs from the no-dropout output, deterministic per

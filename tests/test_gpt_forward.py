@@ -133,6 +133,7 @@ def test_kv_cache_pb_relax_close(params, batch):
     assert float(jnp.max(jnp.abs(probs_full - probs_step))) < 5e-2
 
 
+@pytest.mark.slow
 def test_block_decode_equals_full(params, batch):
     """multi-token decode blocks (the magnify/i2t pattern) also match."""
     cfg = CFG.replace(pb_relax=False)
@@ -216,6 +217,7 @@ def test_training_mems_match_reference(params):
                                    atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mems_gradients_stop_at_window():
     """new_mems are detached (reference update_mems runs under no_grad):
     no gradient flows from segment-2 loss into segment-1 activations via
@@ -244,6 +246,7 @@ def test_vocab_padding_helper():
     assert pad_vocab_size(128, 1) == 128
 
 
+@pytest.mark.slow
 def test_attention_dropout_active_on_dense_and_sparse_paths():
     """Regression (round-2 hash-PRNG migration dropped dropout_rate at two
     call sites): with attention_dropout > 0 a TRAIN forward must differ
@@ -283,6 +286,7 @@ def test_attention_dropout_active_on_dense_and_sparse_paths():
         "sparse attention dropout is not being applied"
 
 
+@pytest.mark.slow
 def test_logits_from_slices_exactly():
     """forward(logits_from=t) == forward()[:, t:] (drives the caption-
     scoring fast path, which projects only the text tail); and

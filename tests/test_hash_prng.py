@@ -3,6 +3,7 @@ round-to-one regression), dropout statistics, and the gumbel-max masked-
 token regression the bound bug caused."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ from cogview_tpu.ops.hash_prng import (
 NEG_INF = -1e9
 
 
+@pytest.mark.slow
 def test_uniform_strictly_inside_unit_interval():
     """(bits + 0.5) * 2^-24 rounds to exactly 1.0f at bits == 2^24 - 1
     (round-to-even on the halfway point); the clamp must keep every value

@@ -10,6 +10,8 @@ in unchanged.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # InceptionV3 oracle parity + FID (~2 min incl. torch setup)
+
 import jax
 import jax.numpy as jnp
 

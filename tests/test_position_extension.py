@@ -40,6 +40,7 @@ def test_adapt_noop_and_truncate():
     assert shorter["embed"]["pos"].shape[0] == cfg.max_position_embeddings - 16
 
 
+@pytest.mark.slow
 def test_sr_finetune_step_at_extended_length():
     """Load a 'base' checkpoint's params into an extended-positions config
     and run one dual-positions train step at the full extended length —

@@ -10,6 +10,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-step train/resume loops (~30s)
+
 import jax
 import jax.numpy as jnp
 

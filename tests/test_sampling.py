@@ -148,6 +148,7 @@ def test_top_p_filter():
     assert (out[0, 2:] < -1e8).all()
 
 
+@pytest.mark.slow
 def test_greedy_matches_stepwise_forward(tok, params):
     """temperature->0 (argmax) filling == manual argmax loop over forward."""
     seq = [tok["[ROI1]"], 40, 50, tok["[BASE]"], tok["[BOI1]"]] + [-1] * 4
@@ -213,6 +214,7 @@ def test_generated_eoi_switches_to_text(tok, params):
     assert (gen >= 32).all() and (gen < 32 + 64).all(), gen
 
 
+@pytest.mark.slow
 def test_fork_marks_share_prefix_then_diverge(tok, params):
     """Fork-to-N (reference add_interlacing_beam_marks + the -N slot
     semantics, sampling.py:168-180, 200-211): before the fork point all

@@ -87,6 +87,7 @@ def test_sparse_equals_dense_without_bias(qkv, pivots):
     )
 
 
+@pytest.mark.slow
 def test_sparse_gradients_match_dense(qkv, pivots):
     q, k, v = qkv
     rmask = jnp.asarray(build_rmask(S, W, TIMES))
@@ -148,6 +149,7 @@ def test_sample_pivots_includes_all_text():
     assert set(range(7)) <= got1
 
 
+@pytest.mark.slow
 def test_sparse_lm_loss_runs():
     """End-to-end: lm_loss(is_sparse=True) on a tiny model is finite."""
     from cogview_tpu.config import tiny_test

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # generation tasks end-to-end (magnify alone is ~6 min on CPU)
+
 import jax
 import jax.numpy as jnp
 

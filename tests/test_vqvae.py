@@ -116,6 +116,7 @@ def test_straight_through_gradient(params):
     np.testing.assert_allclose(np.asarray(g), 3.0 * np.ones_like(g), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_code2img_bf16_decode_close(params):
     """The bf16 decode fast path (code2img(dtype=bfloat16)) must stay
     visually identical to the fp32 HIGHEST path: pixels are clipped to
@@ -144,6 +145,7 @@ def test_img2code_bf16_encode_mostly_agrees(params):
     assert flip < 0.05, f"bf16 encode flips {flip:.3%} of codes"
 
 
+@pytest.mark.slow
 def test_subpixel_convt_matches_lax_conv_transpose():
     """The decoder's k4/s2/p1 ConvTranspose runs as a sub-pixel conv (see
     vqvae._conv_transpose_421); it must equal the lax.conv_transpose
