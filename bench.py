@@ -11,19 +11,21 @@ quantization — throughput is weight-value-independent.
 
 Roofline (v5e: 16GB HBM, ~750GB/s measured streaming BW): every decode step
 streams the weights (7.86GB bf16 / 4.1GB int8+scales) plus each image's
-int8 KV cache (48L x 2560H x 1152Tp x 2 = 268MB + 34MB scales,
-~0.49ms/image).  Measured (r2, reps=3 full sampler):
-  bf16 weights: B24 = 0.980 img/s (23.8ms/step; B32 OOMs: 7.9+9.0GB)
-  int8 weights: B24 = 1.258  B32 = 1.386  B36 = 1.446  B40 = 1.491 img/s
-i.e. the weight stream drops 23.8->18.6ms at B24 (~650GB/s of s8 — XLA
-fuses the s8->bf16 convert into the dot) and the freed 3.8GB raises the
-max batch.  COGVIEW_BENCH_WEIGHTS=bfloat16 reverts to exact weights.
+LIVE int8 KV cache windows — the r3 kernel streams only the
+ceil((index+1)/128) live 128-token windows of the window-blocked cache
+(avg 5.5/9 over a 1089-slot decode), not the full padded Tp: per image
+268MB*5.5/9 + 34MB*5.5/9 scales ~= 185MB, ~0.25ms/image average.
+Measured (r3, reps=3 full sampler, live-window kernel):
+  int8 weights: B40 = 1.670 img/s (23.4ms/step avg)
+  [r2 full-Tp kernel for comparison: B40 = 1.491, 25.8ms flat]
+  bf16 weights: B24 = 0.980 img/s (r2; B32 OOMs: 7.9+9.0GB)
+The weight stream runs ~650GB/s of s8 — XLA fuses the s8->bf16 convert
+into the dot.  COGVIEW_BENCH_WEIGHTS=bfloat16 reverts to exact weights.
 COGVIEW_BENCH_KV=int4 (packed-nibble cache, ops/decode_attention.py):
-B40 = 1.626, B64 = 1.807 img/s — kept OPT-IN on quality grounds (absmax/7
-4-bit KV; the VPU nibble-unpack also eats most of the halved-DMA win, so
-the gain is mainly the 2x batch headroom).
+kept OPT-IN on quality grounds (absmax/7 4-bit KV; quantified by
+scripts/kv_quality_check.py — see README "KV cache quality").
 History: r1 (bf16 cache, XLA attention) batch 8 = 0.30 img/s; r2 int8-KV
-kernel batch 24 = 0.98-1.01.
+fused kernel batch 40 = 1.49; r3 live-window streaming = 1.67.
 
 Baselines for vs_baseline (r3: ALL modes carry the same convention — an
 analytic OPTIMISTIC CEILING for the reference at 100% of V100 peak, so

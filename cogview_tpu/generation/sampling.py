@@ -335,7 +335,11 @@ def _filling_sequence_jit(
 
     # prefill the fixed context; last logits seed the first generated slot
     logits_ctx, cache = gpt.forward_with_cache(
-        params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0)
+        # index is a LITERAL 0 (not jnp.int32(0)): under jit every jnp
+        # constant is a tracer, and forward_with_cache's full-prefix fast
+        # path (attend over the local chunk, skip the whole-cache gather)
+        # needs a trace-time-concrete zero to fire
+        params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, 0
     )
     last_logits = logits_ctx[:, -1]  # [B, V]
 

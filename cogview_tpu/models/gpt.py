@@ -39,7 +39,8 @@ from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
 from ..ops.decode_attention import (
     decode_attention_quant, decode_attention_quant4, dequantize_kv,
-    dequantize_kv4, pad_cache_len, quantize_kv, quantize_kv4)
+    dequantize_kv4, gather_layer, gather_scales, pad_cache_len,
+    quantize_kv, quantize_kv4, scatter_columns, scatter_scale_columns)
 from ..ops.flash_attention import flash_attention
 from ..ops.hash_prng import hash_dropout, seed_from_key
 from ..ops.sparse_attention import pivot_window_attention
@@ -218,30 +219,34 @@ class KVCache(NamedTuple):
 class QuantKVCache(NamedTuple):
     """int8 KV cache + per-(head, token) scales (cfg.kv_cache_dtype="int8").
 
-    Layout [L, B, N, D, Tp] (Tp = max_len padded to the kernel's 128-token
-    write window; Tp minor keeps the s8 tiles pad-free).  Decode attention
-    AND the per-step cache update run in the fused Pallas kernel
-    (ops/decode_attention.py): int8 blocks stream straight from HBM — half
-    the bytes of bf16, no XLA dequant materialization, no per-column
+    Layout is **window-blocked**: [L, B, NW, N, D, W] with NW 128-token
+    windows (scales [L, B, NW, N, W]; see ops/decode_attention.py).  The
+    window-major order makes each window one contiguous HBM run, which
+    lets the decode kernel stream only the LIVE windows (ceil((index+1)/
+    128) of NW) at full bandwidth; (D, W) trailing keeps s8 tiles
+    pad-free.  Decode attention AND the per-step cache update run in the
+    fused Pallas kernel: int8 blocks stream straight from HBM — half the
+    bytes of bf16, no XLA dequant materialization, no per-column
     dynamic_update_slice tile churn."""
 
-    k: jax.Array  # [L, B, N, D, Tp] int8
-    v: jax.Array  # [L, B, N, D, Tp] int8
-    kscale: jax.Array  # [L, B, N, Tp] f32
-    vscale: jax.Array  # [L, B, N, Tp] f32
+    k: jax.Array  # [L, B, NW, N, D, W] int8
+    v: jax.Array  # [L, B, NW, N, D, W] int8
+    kscale: jax.Array  # [L, B, NW, N, W] f32
+    vscale: jax.Array  # [L, B, NW, N, W] f32
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[4]
+        return self.k.shape[2] * self.k.shape[5]
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
     L, H, N, D = cfg.num_layers, cfg.hidden_size, cfg.num_heads, cfg.head_dim
     if cfg.kv_cache_dtype in ("int8", "int4"):
-        Tp = pad_cache_len(max_len)
+        W = 128
+        NW = pad_cache_len(max_len) // W
         Dc = D if cfg.kv_cache_dtype == "int8" else D // 2  # int4 packs 2/byte
-        shape = (L, batch, N, Dc, Tp)
-        sshape = (L, batch, N, Tp)
+        shape = (L, batch, NW, N, Dc, W)
+        sshape = (L, batch, NW, N, W)
         return QuantKVCache(
             jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
             jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
@@ -279,6 +284,7 @@ def _layer_body(
     sparse: Optional["SparseSpec"] = None,
     sep_for_flash: Optional[int] = None,  # static sep when mask is causal+sep
     mem: Optional[jax.Array] = None,  # [B, M, H] rolling hidden-state memory
+    full_prefix: bool = False,  # static: this chunk IS the whole visible prefix
 ):
     B, S, H = h.shape
     N, D = cfg.num_heads, cfg.head_dim
@@ -317,16 +323,16 @@ def _layer_body(
 
     new_kv = None
     if kv is not None and len(kv) == 4:
-        # Quantized cache (cfg.kv_cache_dtype="int8"), layout [L,B,N,Tp,D].
-        # Decode (S==1): attention AND the cache update are one fused
-        # Pallas kernel — it quantizes this token's K/V, writes the
-        # 128-token window containing slot ``index`` back in place
-        # (donated buffers), and attends over past-quantized + current-
-        # exact keys.  The scalar-prefetch layer index selects the layer's
+        # Quantized cache (cfg.kv_cache_dtype="int8"), window-blocked
+        # layout [L,B,NW,N,Dc,W] (QuantKVCache).  Decode (S==1): attention
+        # AND the cache update are one fused Pallas kernel — it quantizes
+        # this token's K/V, writes the 128-token window containing slot
+        # ``index`` back in place (donated buffers), and attends over
+        # past-quantized + current-exact keys, streaming only the LIVE
+        # windows.  The scalar-prefetch layer index selects the layer's
         # blocks in HBM (no per-layer slice copies off the scan carry).
         ck, cv, cks, cvs = kv
-        Tp = ck.shape[4]
-        Dc = ck.shape[3]  # D (int8) or D//2 (packed int4)
+        Dc = ck.shape[4]  # D (int8) or D//2 (packed int4)
         int4 = Dc != D
         if S == 1:
             decode_fn = decode_attention_quant4 if int4 else decode_attention_quant
@@ -340,25 +346,36 @@ def _layer_body(
             new_kv = (ck, cv, cks, cvs)
             ctx = ctx.astype(cdt).reshape(B, 1, H)
         else:
-            # prefill: quantize + chunked write + dense attention over the
-            # dequantized layer (one-time cost per sequence; attending to
-            # the quantized K/V keeps prefill and decode numerics close)
+            # prefill: quantize + windowed scatter + dense attention over
+            # the dequantized layer (one-time cost per sequence; attending
+            # to the quantized K/V keeps prefill and decode numerics close)
             quant_fn = quantize_kv4 if int4 else quantize_kv
             dequant_fn = dequantize_kv4 if int4 else dequantize_kv
             k8, ksc = quant_fn(jnp.swapaxes(qkv[:, :, 1], 1, 2), N)
             v8, vsc = quant_fn(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
-            ck = lax.dynamic_update_slice(ck, k8[None], (layer_idx, 0, 0, 0, index))
-            cv = lax.dynamic_update_slice(cv, v8[None], (layer_idx, 0, 0, 0, index))
-            cks = lax.dynamic_update_slice(cks, ksc[None], (layer_idx, 0, 0, index))
-            cvs = lax.dynamic_update_slice(cvs, vsc[None], (layer_idx, 0, 0, index))
+            ck = scatter_columns(ck, k8, layer_idx, index)
+            cv = scatter_columns(cv, v8, layer_idx, index)
+            cks = scatter_scale_columns(cks, ksc, layer_idx, index)
+            cvs = scatter_scale_columns(cvs, vsc, layer_idx, index)
             new_kv = (ck, cv, cks, cvs)
-            k_l = lax.dynamic_slice(ck, (layer_idx, 0, 0, 0, 0), (1, B, N, Dc, Tp))[0]
-            v_l = lax.dynamic_slice(cv, (layer_idx, 0, 0, 0, 0), (1, B, N, Dc, Tp))[0]
-            ks_l = lax.dynamic_slice(cks, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
-            vs_l = lax.dynamic_slice(cvs, (layer_idx, 0, 0, 0), (1, B, N, Tp))[0]
-            kT = dequant_fn(k_l, ks_l, cdt)  # [B, N, D, Tp]
-            vT = dequant_fn(v_l, vs_l, cdt)
-            ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
+            if full_prefix:
+                # the chunk IS the whole visible prefix (generation
+                # prefill at index 0): attend over the just-quantized
+                # local columns.  Re-gathering the layer from the blocked
+                # cache instead costs a whole-cache transpose that XLA
+                # materializes as TWO padded s8 copies of the cache
+                # (9.4GB each at base/B40 — an instant OOM) plus a dense
+                # pass over all Tp slots where only S are visible.
+                kT = dequant_fn(k8, ksc, cdt)  # [B, N, D, S]
+                vT = dequant_fn(v8, vsc, cdt)
+                ctx = dense_attention_kvT(
+                    q, kT, vT, mask[..., :S]).reshape(B, S, H)
+            else:
+                kT = dequant_fn(gather_layer(ck, layer_idx),
+                                gather_scales(cks, layer_idx), cdt)  # [B,N,D,Tp]
+                vT = dequant_fn(gather_layer(cv, layer_idx),
+                                gather_scales(cvs, layer_idx), cdt)
+                ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
     elif kv is not None:
         # Full [L,B,H,T] caches thread through the layer scan as a carry:
         # one in-place dynamic_update_slice per layer (no xs->ys copies),
@@ -632,12 +649,27 @@ def forward_with_cache(
     q_abs = index + jnp.arange(Q, dtype=jnp.int32)
     mask = decode_mask(jnp.broadcast_to(q_abs, (B, Q)), T)
     quant = isinstance(cache, QuantKVCache)
+    # Static prefill-from-zero detection: the sampler passes a LITERAL 0,
+    # so "this chunk is the whole visible prefix" is knowable at trace
+    # time and the layer can attend over the local chunk instead of the
+    # full padded cache (see _layer_body).  int() also concretizes a
+    # non-traced jnp scalar; under jit even jnp.int32(0) is a (constant)
+    # tracer that refuses int() — callers there must pass Python 0.
+    if Q > 1:
+        try:
+            full_prefix = int(index) == 0
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerIntegerConversionError):
+            full_prefix = False
+    else:
+        full_prefix = False
 
     def body(carry, p):
         h, li = carry[0], carry[-1]
         kv = carry[1:-1]
         h, new_kv = _layer_body(
-            cfg, h, p, mask, None, False, kv=kv, index=index, layer_idx=li
+            cfg, h, p, mask, None, False, kv=kv, index=index, layer_idx=li,
+            full_prefix=full_prefix,
         )
         return (h, *new_kv, li + 1), None
 

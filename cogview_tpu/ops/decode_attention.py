@@ -23,14 +23,23 @@ at cogview-base scale on v5e before being fused):
   pipeline.  As a bonus the current token attends to its *exact* bf16
   K/V (it is quantized only for later steps).
 
-Cache layout is [L, B, N, D, Tp] (Tp = T rounded up to the 128-token
-write window; scales [L, B, N, Tp] f32).  Tp as the MINOR dim is
-load-bearing: it is a 128-lane multiple, so the s8 tiles pack with zero
-padding — a [.., Tp, D=64] layout pads 64 lanes to 128 and DOUBLES the
-cache footprint (measured: 2.0x expansion plus giant per-iteration
-compress/decompress copies on the loop carry).  Both kernel matmuls are
-direct batched GEMMs over the head block with no in-kernel transposes;
-the stacked L dim keeps the model's ``lax.scan``
+Cache layout is **window-blocked**: [L, B, NW, N, D, W] with
+NW = ceil(T / 128) windows of W = 128 tokens (scales [L, B, NW, N, W]
+f32).  Two properties are load-bearing:
+
+* (D, W) as the trailing dims keeps the s8 tiles pad-free ((32, 128)
+  tiles; a [.., W, D=64] order would pad 64 lanes to 128 and DOUBLE the
+  footprint — measured in r2);
+* the WINDOW index is a MAJOR dim, so one grid cell's cache block
+  [1, 1, 1, hb, D, W] is a single contiguous ~320KB HBM run.  Windowing
+  the previous [L, B, N, D, Tp] layout along its minor dim instead makes
+  every window DMA a strided gather of 128-BYTE rows, which collapsed
+  streaming bandwidth to ~70 GB/s on the chip (vs ~600 GB/s contiguous;
+  measured r3) — a kernel-level slowdown that more than erased the
+  live-window win.
+
+Both kernel matmuls are direct batched GEMMs over the head block with no
+in-kernel transposes; the stacked L dim keeps the model's ``lax.scan``
 over layers carrying one buffer, with the *current layer* selected by a
 scalar-prefetch argument feeding the BlockSpec index_maps, i.e. the DMA
 engine reads layer ``li``'s blocks straight from HBM (an XLA
@@ -105,105 +114,209 @@ def pick_head_block(num_heads: int, head_dim: int, max_len: int) -> int:
     return cands[-1]
 
 
-def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
-                   o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
-                   acc_ref, m_ref, l_ref, *, scale):
-    """One (batch row, head block, token window) grid cell.
+def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
+                   o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+                   kbuf, vbuf, ksbuf, vsbuf, kout, vout, ksout, vsout,
+                   ksem, vsem, kssem, vssem, kosem, vosem, ksosem, vsosem,
+                   *, scale, hb, batch):
+    """One head-block grid cell runs ALL batch rows: a single manual
+    double-buffered DMA loop over the flattened (batch row, live window)
+    sequence, so the pipeline never drains between rows.
 
-    s_ref (SMEM): [layer, index]; q/kc/vc [1,hb,D]; k/v [1,1,hb,D,W] int8
-    — ONE 128-token window of the cache, the BlockSpec index_map clamps
-    dead windows to ``lastw = index // W`` so their DMAs are elided;
-    ks/vs [1,1,hb,W] f32.  Outputs: o [1,hb,D] ctx; ko/vo [1,1,hb,D,W] and
-    kso/vso [1,1,hb,W] — the write-back window containing slot ``index``
-    (aliased onto the cache arrays).  acc/m/l: VMEM scratch carrying the
-    flash-style running context / max / normalizer across window steps."""
+    s_ref (SMEM): [layer, index]; q/kc/vc [B,hb,D] VMEM blocks; the cache
+    arrays stay in HBM (memory_space=ANY) and the kernel streams exactly
+    ``lastw+1 = index//W + 1`` contiguous [hb,D,W] window blocks of K and
+    V (plus [hb,W] scale rows) per row through 2-slot VMEM buffers —
+    iteration i+2's copy is issued right after i's compute, crossing row
+    boundaries.  Attention accumulates flash-style across a row's
+    windows; at a row's last window the current token's exact column is
+    folded in, the context written to o[b], and the write-back window
+    (holding slot ``index``, resident in the last buffer slot) is updated
+    with the quantized current column and DMA'd back to the aliased cache
+    in ONE aligned block write, staged 2-deep so the wait is deferred two
+    rows.
+
+    Why this shape (both alternatives measured on-chip at cogview-base
+    B40): a grid-pipelined version (innermost window grid dim, clamped
+    index_map) pays ~5.5us of fixed cost per grid STEP — the per-step
+    flush of the windowed write-back outputs swamps the streamed bytes
+    (~2ms/layer-call vs the ~0.35ms roofline); a per-(b,h)-cell manual
+    loop fixes the marginal bandwidth (~745 GB/s per extra window) but
+    pays ~6.6us of DMA prologue/epilogue latency per CELL = a 12.7ms/step
+    intercept at 48 layers.  One flat loop leaves only per-layer-call
+    constants."""
+    li = s_ref[0]
     index = s_ref[1]
-    w = pl.program_id(2)
-    nw = pl.num_programs(2)
-    lastw = index // WRITE_WINDOW
-    q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
-    hb, D = q.shape
+    h = pl.program_id(0)
     W = WRITE_WINDOW
+    lastw = index // W
+    lw1 = lastw + 1
+    total = batch * lw1
+    hs = h * hb
+    D = q_ref.shape[2]
 
-    @pl.when(w == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, -1e30)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    def coords(it):
+        b = it // lw1
+        return b, it - b * lw1
 
-    @pl.when(w <= lastw)
-    def _accumulate():
-        k = k_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
+    def copy(it, slot):
+        b, w = coords(it)
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[li, b, w, pl.ds(hs, hb)], kbuf.at[slot], ksem.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[li, b, w, pl.ds(hs, hb)], vbuf.at[slot], vsem.at[slot]),
+            pltpu.make_async_copy(
+                ks_hbm.at[li, b, w, pl.ds(hs, hb)], ksbuf.at[slot], kssem.at[slot]),
+            pltpu.make_async_copy(
+                vs_hbm.at[li, b, w, pl.ds(hs, hb)], vsbuf.at[slot], vssem.at[slot]),
+        )
+
+    def start(it, slot):
+        for c in copy(it, slot):
+            c.start()
+
+    def wait(slot):
+        for c in copy(0, slot):  # src index irrelevant for the wait
+            c.wait()
+
+    def out_copies(b, oslot):
+        lw = lastw
+        return (
+            pltpu.make_async_copy(
+                kout.at[oslot], ko_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                kosem.at[oslot]),
+            pltpu.make_async_copy(
+                vout.at[oslot], vo_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                vosem.at[oslot]),
+            pltpu.make_async_copy(
+                ksout.at[oslot], kso_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                ksosem.at[oslot]),
+            pltpu.make_async_copy(
+                vsout.at[oslot], vso_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                vsosem.at[oslot]),
+        )
+
+    def wait_out(oslot):
+        for c in out_copies(0, oslot):
+            c.wait()
+
+    start(0, 0)
+
+    @pl.when(total > 1)
+    def _():
+        start(1, 1)
+
+    def body(it, carry):
+        m, l, acc = carry
+        b, w = coords(it)
+        slot = lax.rem(it, 2)
+        wait(slot)
+
+        # new row: reset the flash accumulators
+        reset = w == 0
+        m = jnp.where(reset, jnp.full_like(m, -1e30), m)
+        l = jnp.where(reset, jnp.zeros_like(l), l)
+        acc = jnp.where(reset, jnp.zeros_like(acc), acc)
+
+        q = q_ref[b].astype(jnp.float32) * scale  # [hb, D]
+        k = kbuf[slot].astype(jnp.float32)  # [hb, D, W]
         s = lax.dot_general(
             q[:, None, :], k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, 0, :]  # [hb, W]
-        s = s * ks_ref[0, 0]
+        s = s * ksbuf[slot]
         kpos = w * W + lax.broadcasted_iota(jnp.int32, (hb, W), 1)
         s = jnp.where(kpos < index, s, MASK_VALUE)
-        m_prev = m_ref[:, 0]  # [hb]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_new)  # [hb]
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        alpha = jnp.exp(m - m_new)  # [hb]
         p = jnp.exp(s - m_new[:, None])  # [hb, W]
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        pv = p * vs_ref[0, 0]
-        v = v_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
+        l = l * alpha + jnp.sum(p, axis=1)
+        pv = p * vsbuf[slot]
+        v = vbuf[slot].astype(jnp.float32)  # [hb, D, W]
         ctx = lax.dot_general(
             pv[:, None, :], v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )[:, 0, :]  # [hb, D]
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + ctx
-        m_ref[:, 0] = m_new
+        acc = acc * alpha[:, None] + ctx
 
-    @pl.when(w == nw - 1)
-    def _finalize():
-        kc = kc_ref[0].astype(jnp.float32)  # [hb, D] current key column
-        vc = vc_ref[0].astype(jnp.float32)
+        @pl.when(w == lastw)
+        def _finalize():
+            # ---- current token attends to its exact bf16 column ----
+            kc = kc_ref[b].astype(jnp.float32)  # [hb, D]
+            vc = vc_ref[b].astype(jnp.float32)
+            s_cur = jnp.sum(q * kc, axis=1)  # [hb]
+            m_fin = jnp.maximum(m_new, s_cur)
+            a2 = jnp.exp(m_new - m_fin)
+            p_cur = jnp.exp(s_cur - m_fin)
+            l_fin = l * a2 + p_cur
+            out = acc * a2[:, None] + p_cur[:, None] * vc
+            o_ref[b] = (out / l_fin[:, None]).astype(o_ref.dtype)
 
-        # ---- current token attends to its exact bf16 column ----
-        s_cur = jnp.sum(q * kc, axis=1)  # [hb]
-        m_prev = m_ref[:, 0]
-        m_fin = jnp.maximum(m_prev, s_cur)
-        alpha = jnp.exp(m_prev - m_fin)
-        p_cur = jnp.exp(s_cur - m_fin)
-        l_fin = l_ref[:, 0] * alpha + p_cur
-        ctx = (acc_ref[...] * alpha[:, None] + p_cur[:, None] * vc)
-        o_ref[0] = (ctx / l_fin[:, None]).astype(o_ref.dtype)
+            # ---- quantize the current column (for FUTURE steps) ----
+            # kept f32 until the windowed write: Mosaic only supports
+            # minor-dim broadcasts for 32-bit types
+            ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 127.0
+            vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 127.0
+            kq_new = jnp.round(kc / ks_new[:, None])  # [hb, D] in [-127,127]
+            vq_new = jnp.round(vc / vs_new[:, None])
 
-        # ---- quantize the current column (for FUTURE steps' reads) ----
-        # kept f32 until the windowed write: Mosaic only supports
-        # minor-dim broadcasts for 32-bit types
-        ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 127.0
-        vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 127.0
-        kq_new = jnp.round(kc / ks_new[:, None])  # [hb, D] in [-127, 127]
-        vq_new = jnp.round(vc / vs_new[:, None])
+            # ---- write-back: window ``lastw`` (resident in this slot)
+            # with the new column inserted; 2-deep staging defers the
+            # wait until the slot is reused two rows later ----
+            oslot = lax.rem(b, 2)
 
-        # ---- windowed cache write-back with the new column inserted ----
-        # the resident k/v block at the final step is window
-        # min(nw - 1, lastw) == lastw: exactly the window holding `index`
-        col = index - lastw * W
-        onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
-        onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D, W), 2) == col
-        k_win = k_ref[0, 0].astype(jnp.float32)  # [hb, D, W]
-        v_win = v_ref[0, 0].astype(jnp.float32)
-        ko_ref[0, 0] = jnp.where(onehot3, kq_new[:, :, None], k_win).astype(jnp.int8)
-        vo_ref[0, 0] = jnp.where(onehot3, vq_new[:, :, None], v_win).astype(jnp.int8)
-        kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0])
-        vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0])
+            @pl.when(b >= 2)
+            def _():
+                wait_out(oslot)
+
+            col = index - lastw * W
+            onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+            onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D, W), 2) == col
+            k_win = kbuf[slot].astype(jnp.float32)
+            v_win = vbuf[slot].astype(jnp.float32)
+            kout[oslot] = jnp.where(
+                onehot3, kq_new[:, :, None], k_win).astype(jnp.int8)
+            vout[oslot] = jnp.where(
+                onehot3, vq_new[:, :, None], v_win).astype(jnp.int8)
+            ksout[oslot] = jnp.where(onehot, ks_new[:, None], ksbuf[slot])
+            vsout[oslot] = jnp.where(onehot, vs_new[:, None], vsbuf[slot])
+            for c in out_copies(b, oslot):
+                c.start()
+
+        # issue i+2's prefetch only AFTER _finalize: it reuses this slot,
+        # and finalize still reads the resident window (kbuf/vbuf/ksbuf/
+        # vsbuf[slot]) to stage the write-back — starting the copy earlier
+        # races the overwrite against those reads
+        @pl.when(it + 2 < total)
+        def _():
+            start(it + 2, slot)
+
+        return m_new, l, acc
+
+    m0 = jnp.full((hb,), -1e30, jnp.float32)
+    l0 = jnp.zeros((hb,), jnp.float32)
+    acc0 = jnp.zeros((hb, D), jnp.float32)
+    lax.fori_loop(0, total, body, (m0, l0, acc0))
+
+    # drain the last (up to two) staged write-backs
+    if batch >= 2:
+        wait_out((batch - 2) % 2)
+    wait_out((batch - 1) % 2)
 
 
 def _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col, kq, vq,
                       ks, vs, layer_idx, index):
     """Run a quantized-decode kernel per mesh shard: batch dims sharded
     over ``data_axis`` (cache dim 1, columns dim 0), HEAD dims over
-    ``model_axis`` (cache dim 2, columns dim 1), scalars replicated.
-    Attention is (batch row, head)-local, so the kernel needs no
-    cross-shard collectives either way.  Uses the ambient mesh
-    (jax.set_mesh)."""
+    ``model_axis`` (cache dim 3, columns dim 1; the window dim 2 stays
+    unsharded), scalars replicated.  Attention is (batch row, head)-local,
+    so the kernel needs no cross-shard collectives either way.  Uses the
+    ambient mesh (jax.set_mesh)."""
     P_ = jax.sharding.PartitionSpec
     col = P_(data_axis, model_axis)
-    cache = P_(None, data_axis, model_axis)
-    scl = P_(None, data_axis, model_axis)
+    cache = P_(None, data_axis, None, model_axis)
+    scl = P_(None, data_axis, None, model_axis)
     rep = P_()
     return jax.shard_map(
         fn,
@@ -245,41 +358,43 @@ def decode_attention_quant(
         return _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col,
                                  k8, v8, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
-    L, _, _, _, Tp = k8.shape
-    assert k8.shape == (L, B, N, D, Tp) and kscale.shape == (L, B, N, Tp)
-    assert Tp % WRITE_WINDOW == 0, "allocate the cache via pad_cache_len"
+    L, _, nw, _, _, W = k8.shape
+    assert W == WRITE_WINDOW and k8.shape == (L, B, nw, N, D, W), k8.shape
+    assert kscale.shape == (L, B, nw, N, W), kscale.shape
     scale = 1.0 / math.sqrt(D)
-    W = WRITE_WINDOW
     hb = head_block or pick_head_block(N, D, W)
     assert N % hb == 0
     if not interpret:
         interpret = jax.default_backend() == "cpu"
 
-    nw = Tp // W
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(index, jnp.int32)])
-    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, w, s: (b, h, 0))
-    # dead windows clamp to the last live window -> the pipeline sees an
-    # unchanged block index and elides the fetch (live-window streaming)
-    cache_spec = pl.BlockSpec(
-        (1, 1, hb, D, W),
-        lambda b, h, w, s: (s[0], b, h, 0, jnp.minimum(w, s[1] // W)))
-    scale_spec = pl.BlockSpec(
-        (1, 1, hb, W),
-        lambda b, h, w, s: (s[0], b, h, jnp.minimum(w, s[1] // W)))
-    win_spec = pl.BlockSpec(
-        (1, 1, hb, D, W), lambda b, h, w, s: (s[0], b, h, 0, s[1] // W))
-    swin_spec = pl.BlockSpec(
-        (1, 1, hb, W), lambda b, h, w, s: (s[0], b, h, s[1] // W))
+    col_spec = pl.BlockSpec((B, hb, D), lambda h, s: (0, h, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N // hb, nw),
+        grid=(N // hb,),
         in_specs=[col_spec, col_spec, col_spec,
-                  cache_spec, cache_spec, scale_spec, scale_spec],
-        out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
-        scratch_shapes=[pltpu.VMEM((hb, D), jnp.float32),
-                        pltpu.VMEM((hb, 1), jnp.float32),
-                        pltpu.VMEM((hb, 1), jnp.float32)],
+                  any_spec, any_spec, any_spec, any_spec],
+        out_specs=[col_spec, any_spec, any_spec, any_spec, any_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, hb, D, W), jnp.int8),   # kbuf
+            pltpu.VMEM((2, hb, D, W), jnp.int8),   # vbuf
+            pltpu.VMEM((2, hb, W), jnp.float32),   # ksbuf
+            pltpu.VMEM((2, hb, W), jnp.float32),   # vsbuf
+            pltpu.VMEM((2, hb, D, W), jnp.int8),   # kout (2-deep staging)
+            pltpu.VMEM((2, hb, D, W), jnp.int8),   # vout
+            pltpu.VMEM((2, hb, W), jnp.float32),   # ksout
+            pltpu.VMEM((2, hb, W), jnp.float32),   # vsout
+            pltpu.SemaphoreType.DMA((2,)),         # ksem
+            pltpu.SemaphoreType.DMA((2,)),         # vsem
+            pltpu.SemaphoreType.DMA((2,)),         # kssem
+            pltpu.SemaphoreType.DMA((2,)),         # vssem
+            pltpu.SemaphoreType.DMA((2,)),         # kosem
+            pltpu.SemaphoreType.DMA((2,)),         # vosem
+            pltpu.SemaphoreType.DMA((2,)),         # ksosem
+            pltpu.SemaphoreType.DMA((2,)),         # vsosem
+        ],
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, D), q.dtype),
@@ -292,7 +407,7 @@ def decode_attention_quant(
     # k8 -> 1, v8 -> 2, kscale -> 3, vscale -> 4
     aliases = {4: 1, 5: 2, 6: 3, 7: 4}
     ctx, k8, v8, kscale, vscale = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale),
+        functools.partial(_decode_kernel, scale=scale, hb=hb, batch=B),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
@@ -352,7 +467,7 @@ def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     @pl.when(w <= lastw)
     def _accumulate():
-        kf = k_ref[0, 0].astype(jnp.float32)  # [hb, D2, W] packed bytes
+        kf = k_ref[0, 0, 0].astype(jnp.float32)  # [hb, D2, W] packed bytes
         k_hi, k_lo = _unpack4(kf)
         # lax.slice_in_dim, not q[:, :D2]: jnp fancy-slicing lowers to a
         # gather Mosaic has no rule for at these shapes
@@ -364,7 +479,7 @@ def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
             + lax.dot_general(q_lo, k_lo, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
         )[:, 0, :]  # [hb, W]
-        s = s * ks_ref[0, 0]
+        s = s * ks_ref[0, 0, 0]
         kpos = w * W + lax.broadcasted_iota(jnp.int32, (hb, W), 1)
         s = jnp.where(kpos < index, s, MASK_VALUE)
         m_prev = m_ref[:, 0]
@@ -372,8 +487,8 @@ def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new[:, None])
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        pv = p * vs_ref[0, 0]
-        vf = v_ref[0, 0].astype(jnp.float32)
+        pv = p * vs_ref[0, 0, 0]
+        vf = v_ref[0, 0, 0].astype(jnp.float32)
         v_hi, v_lo = _unpack4(vf)
         ctx_hi = lax.dot_general(pv[:, None, :], v_hi,
                                  (((2,), (2,)), ((0,), (0,))),
@@ -413,12 +528,12 @@ def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
         col = index - lastw * W
         onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
         onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
-        k_win = k_ref[0, 0].astype(jnp.float32)
-        v_win = v_ref[0, 0].astype(jnp.float32)
-        ko_ref[0, 0] = jnp.where(onehot3, _pack(kq)[:, :, None], k_win).astype(jnp.int8)
-        vo_ref[0, 0] = jnp.where(onehot3, _pack(vq)[:, :, None], v_win).astype(jnp.int8)
-        kso_ref[0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0])
-        vso_ref[0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0])
+        k_win = k_ref[0, 0, 0].astype(jnp.float32)
+        v_win = v_ref[0, 0, 0].astype(jnp.float32)
+        ko_ref[0, 0, 0] = jnp.where(onehot3, _pack(kq)[:, :, None], k_win).astype(jnp.int8)
+        vo_ref[0, 0, 0] = jnp.where(onehot3, _pack(vq)[:, :, None], v_win).astype(jnp.int8)
+        kso_ref[0, 0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0, 0])
+        vso_ref[0, 0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0, 0])
 
 
 def decode_attention_quant4(
@@ -444,11 +559,10 @@ def decode_attention_quant4(
         return _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col,
                                  k4, v4, kscale, vscale, layer_idx, index)
     B, N, D = q.shape
-    L, _, _, D2, Tp = k4.shape
-    assert D2 == D // 2 and kscale.shape == (L, B, N, Tp)
-    assert Tp % WRITE_WINDOW == 0
+    L, _, nw, _, D2, W = k4.shape
+    assert W == WRITE_WINDOW and D2 == D // 2, k4.shape
+    assert kscale.shape == (L, B, nw, N, W), kscale.shape
     scale = 1.0 / math.sqrt(D)
-    W = WRITE_WINDOW
     # budget on the UNPACKED f32 footprint, not the packed bytes: each
     # packed byte becomes two f32 lanes (8x), so size the head block as if
     # elements were 2*D wide (per resident 128-token window)
@@ -457,20 +571,19 @@ def decode_attention_quant4(
     if not interpret:
         interpret = jax.default_backend() == "cpu"
 
-    nw = Tp // W
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(index, jnp.int32)])
     col_spec = pl.BlockSpec((1, hb, D), lambda b, h, w, s: (b, h, 0))
     cache_spec = pl.BlockSpec(
-        (1, 1, hb, D2, W),
-        lambda b, h, w, s: (s[0], b, h, 0, jnp.minimum(w, s[1] // W)))
+        (1, 1, 1, hb, D2, W),
+        lambda b, h, w, s: (s[0], b, jnp.minimum(w, s[1] // W), h, 0, 0))
     scale_spec = pl.BlockSpec(
-        (1, 1, hb, W),
-        lambda b, h, w, s: (s[0], b, h, jnp.minimum(w, s[1] // W)))
+        (1, 1, 1, hb, W),
+        lambda b, h, w, s: (s[0], b, jnp.minimum(w, s[1] // W), h, 0))
     win_spec = pl.BlockSpec(
-        (1, 1, hb, D2, W), lambda b, h, w, s: (s[0], b, h, 0, s[1] // W))
+        (1, 1, 1, hb, D2, W), lambda b, h, w, s: (s[0], b, s[1] // W, h, 0, 0))
     swin_spec = pl.BlockSpec(
-        (1, 1, hb, W), lambda b, h, w, s: (s[0], b, h, s[1] // W))
+        (1, 1, 1, hb, W), lambda b, h, w, s: (s[0], b, s[1] // W, h, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, N // hb, nw),
@@ -520,13 +633,93 @@ def dequantize_kv4(q4: jax.Array, scales: jax.Array, dtype=jnp.float32) -> jax.A
     return (full * scales[:, :, None, :]).astype(dtype)
 
 
+# ------------------------------------------------------------------ #
+# window-blocked cache scatter/gather (prefill path)
+# ------------------------------------------------------------------ #
+
+
+def scatter_columns(cache: jax.Array, cols: jax.Array,
+                    layer_idx, index) -> jax.Array:
+    """Write ``cols`` [B, N, Dc, S] into the window-blocked cache
+    [L, B, NW, N, Dc, W] at absolute slots [index, index+S) of layer
+    ``layer_idx`` — a read-modify-write of only the touched windows
+    (prefill; decode steps write through the kernel instead)."""
+    L, B, NW, N, Dc, W = cache.shape
+    S = cols.shape[3]
+    nt = min(NW, (S - 1) // W + 2)  # max windows a span of S can touch
+    w0 = jnp.clip(jnp.asarray(index) // W, 0, NW - nt)
+    win = lax.dynamic_slice(
+        cache, (layer_idx, 0, w0, 0, 0, 0), (1, B, nt, N, Dc, W))[0]
+    flat = win.transpose(0, 2, 3, 1, 4).reshape(B, N, Dc, nt * W)
+    flat = lax.dynamic_update_slice(
+        flat, cols.astype(cache.dtype), (0, 0, 0, index - w0 * W))
+    back = flat.reshape(B, N, Dc, nt, W).transpose(0, 3, 1, 2, 4)
+    return lax.dynamic_update_slice(
+        cache, back[None], (layer_idx, 0, w0, 0, 0, 0))
+
+
+def scatter_scale_columns(scales: jax.Array, scols: jax.Array,
+                          layer_idx, index) -> jax.Array:
+    """Same for the [L, B, NW, N, W] scale array; scols [B, N, S]."""
+    L, B, NW, N, W = scales.shape
+    S = scols.shape[2]
+    nt = min(NW, (S - 1) // W + 2)
+    w0 = jnp.clip(jnp.asarray(index) // W, 0, NW - nt)
+    win = lax.dynamic_slice(
+        scales, (layer_idx, 0, w0, 0, 0), (1, B, nt, N, W))[0]
+    flat = win.transpose(0, 2, 1, 3).reshape(B, N, nt * W)
+    flat = lax.dynamic_update_slice(
+        flat, scols.astype(scales.dtype), (0, 0, index - w0 * W))
+    back = flat.reshape(B, N, nt, W).transpose(0, 2, 1, 3)
+    return lax.dynamic_update_slice(
+        scales, back[None], (layer_idx, 0, w0, 0, 0))
+
+
+def gather_layer(cache: jax.Array, layer_idx) -> jax.Array:
+    """Blocked cache [L, B, NW, N, Dc, W] -> layer ``layer_idx`` as
+    column-form [B, N, Dc, NW*W] (prefill dense attention path)."""
+    L, B, NW, N, Dc, W = cache.shape
+    win = lax.dynamic_slice(
+        cache, (layer_idx, 0, 0, 0, 0, 0), (1, B, NW, N, Dc, W))[0]
+    return win.transpose(0, 2, 3, 1, 4).reshape(B, N, Dc, NW * W)
+
+
+def gather_scales(scales: jax.Array, layer_idx) -> jax.Array:
+    """[L, B, NW, N, W] -> [B, N, NW*W] for layer ``layer_idx``."""
+    L, B, NW, N, W = scales.shape
+    win = lax.dynamic_slice(
+        scales, (layer_idx, 0, 0, 0, 0), (1, B, NW, N, W))[0]
+    return win.transpose(0, 2, 1, 3).reshape(B, N, NW * W)
+
+
+def blocked_from_columns(col: jax.Array) -> jax.Array:
+    """Column-form [L, B, N, Dc, T] -> window-blocked [L, B, NW, N, Dc, W]
+    (T must be a WRITE_WINDOW multiple).  Scale arrays [L, B, N, T] map to
+    [L, B, NW, N, W] the same way.  Test/tooling helper."""
+    W = WRITE_WINDOW
+    if col.ndim == 5:
+        L, B, N, Dc, T = col.shape
+        return col.reshape(L, B, N, Dc, T // W, W).transpose(0, 1, 4, 2, 3, 5)
+    L, B, N, T = col.shape
+    return col.reshape(L, B, N, T // W, W).transpose(0, 1, 3, 2, 4)
+
+
+def columns_from_blocked(blk: jax.Array) -> jax.Array:
+    """Inverse of :func:`blocked_from_columns`."""
+    if blk.ndim == 6:
+        L, B, NW, N, Dc, W = blk.shape
+        return blk.transpose(0, 1, 3, 4, 2, 5).reshape(L, B, N, Dc, NW * W)
+    L, B, NW, N, W = blk.shape
+    return blk.transpose(0, 1, 3, 2, 4).reshape(L, B, N, NW * W)
+
+
 def quantize_kv(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]:
     """Per-(head, token) absmax int8 quantization of K or V columns
     (prefill path; the decode loop quantizes in-kernel).
 
-    cols: [B, H, S] -> (int8 [B, N, D, S], scales f32 [B, N, S]) in the
-    cache's [.., N, D, T] orientation.  Scales carry the 1/127 factor so
-    dequantization is a single multiply.
+    cols: [B, H, S] -> (int8 [B, N, D, S], scales f32 [B, N, S]) in
+    column form; ``scatter_columns`` folds these into the blocked cache.
+    Scales carry the 1/127 factor so dequantization is a single multiply.
     """
     B, H, S = cols.shape
     D = H // num_heads

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from cogview_tpu.config import tiny_test
 from cogview_tpu.models import gpt
 from cogview_tpu.ops.decode_attention import (
+    blocked_from_columns,
+    columns_from_blocked,
     decode_attention_quant,
     dequantize_kv,
     pad_cache_len,
@@ -53,7 +55,11 @@ def test_kernel_matches_dense_reference(hb):
     li, idx = 1, 10
 
     ctx, k8n, v8n, ksn, vsn = decode_attention_quant(
-        q, kc, vc, k8, v8, ks, vs, li, idx, head_block=hb)
+        q, kc, vc, blocked_from_columns(k8), blocked_from_columns(v8),
+        blocked_from_columns(ks), blocked_from_columns(vs), li, idx,
+        head_block=hb)
+    k8n = columns_from_blocked(k8n); v8n = columns_from_blocked(v8n)
+    ksn = columns_from_blocked(ksn); vsn = columns_from_blocked(vsn)
 
     kd = np.asarray(dequantize_kv(k8[li], ks[li]))  # [B,N,D,T]
     vd = np.asarray(dequantize_kv(v8[li], vs[li]))
@@ -107,6 +113,7 @@ def test_int8_cache_decode_matches_forward():
     cache = gpt.init_cache(cfg, B, S)
     assert isinstance(cache, gpt.QuantKVCache)
     assert cache.max_len == pad_cache_len(S)
+    assert cache.k.shape[2] == pad_cache_len(S) // 128  # window-blocked
     logits, cache = gpt.forward_with_cache(
         params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0))
     outs = [np.asarray(logits)]
