@@ -17,7 +17,9 @@ ceil((index+1)/128) live 128-token windows of the window-blocked cache
 268MB*5.5/9 + 34MB*5.5/9 scales ~= 185MB, ~0.25ms/image average.
 Measured (r3, reps=3 full sampler, live-window kernel):
   int8 weights: B40 = 1.670 img/s (23.4ms/step avg)
-  [r2 full-Tp kernel for comparison: B40 = 1.491, 25.8ms flat]
+  int4 KV (live-window flat-loop kernel, int8 weights): B64 = 2.220 img/s
+  [r2 full-Tp kernels for comparison: int8 B40 = 1.491 (25.8ms flat),
+   int4 B64 = 1.81]
   bf16 weights: B24 = 0.980 img/s (r2; B32 OOMs: 7.9+9.0GB)
 The weight stream runs ~650GB/s of s8 — XLA fuses the s8->bf16 convert
 into the dot.  COGVIEW_BENCH_WEIGHTS=bfloat16 reverts to exact weights.
@@ -363,7 +365,8 @@ def main():
     if kv == "bfloat16":
         default_batch = "8"
     elif kv == "int4":
-        # measured best 64 (1.81 img/s; 40 -> 1.63); bf16 weights need the
+        # measured best 64 (2.22 img/s live-window r3; r2 full-Tp kernel
+        # gave 1.81 at 64, 1.63 at 40); bf16 weights need the
         # same 3.8GB back that int8 weights free up
         default_batch = "64" if wdt == "int8" else "40"
     else:

@@ -242,7 +242,7 @@ class QuantKVCache(NamedTuple):
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
     L, H, N, D = cfg.num_layers, cfg.hidden_size, cfg.num_heads, cfg.head_dim
     if cfg.kv_cache_dtype in ("int8", "int4"):
-        W = 128
+        from ..ops.decode_attention import WRITE_WINDOW as W
         NW = pad_cache_len(max_len) // W
         Dc = D if cfg.kv_cache_dtype == "int8" else D // 2  # int4 packs 2/byte
         shape = (L, batch, NW, N, Dc, W)

@@ -445,51 +445,109 @@ def _unpack4(bf: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
-def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
-                    o_ref, ko_ref, vo_ref, kso_ref, vso_ref,
-                    acc_ref, m_ref, l_ref, *, scale):
-    """int4 flavor of _decode_kernel: same windowed-streaming grid with
-    D/2 packed cache rows, unpacked per window in VMEM."""
+def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_hbm, v_hbm, ks_hbm, vs_hbm,
+                    o_ref, ko_hbm, vo_hbm, kso_hbm, vso_hbm,
+                    kbuf, vbuf, ksbuf, vsbuf, kout, vout, ksout, vsout,
+                    ksem, vsem, kssem, vssem, kosem, vosem, ksosem, vsosem,
+                    *, scale, hb, batch):
+    """int4 flavor of _decode_kernel: the same flat manual-DMA loop over
+    (batch row, live window) with D/2 packed cache rows, unpacked per
+    window in VMEM (see the module packing note)."""
+    li = s_ref[0]
     index = s_ref[1]
-    w = pl.program_id(2)
-    nw = pl.num_programs(2)
-    lastw = index // WRITE_WINDOW
-    q = q_ref[0].astype(jnp.float32) * scale  # [hb, D]
-    hb, D = q.shape
-    D2 = D // 2
+    h = pl.program_id(0)
     W = WRITE_WINDOW
+    lastw = index // W
+    lw1 = lastw + 1
+    total = batch * lw1
+    hs = h * hb
+    D = q_ref.shape[2]
+    D2 = D // 2
 
-    @pl.when(w == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, -1e30)
-        l_ref[...] = jnp.zeros_like(l_ref)
+    def coords(it):
+        b = it // lw1
+        return b, it - b * lw1
 
-    @pl.when(w <= lastw)
-    def _accumulate():
-        kf = k_ref[0, 0, 0].astype(jnp.float32)  # [hb, D2, W] packed bytes
-        k_hi, k_lo = _unpack4(kf)
+    def copy(it, slot):
+        b, w = coords(it)
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[li, b, w, pl.ds(hs, hb)], kbuf.at[slot], ksem.at[slot]),
+            pltpu.make_async_copy(
+                v_hbm.at[li, b, w, pl.ds(hs, hb)], vbuf.at[slot], vsem.at[slot]),
+            pltpu.make_async_copy(
+                ks_hbm.at[li, b, w, pl.ds(hs, hb)], ksbuf.at[slot], kssem.at[slot]),
+            pltpu.make_async_copy(
+                vs_hbm.at[li, b, w, pl.ds(hs, hb)], vsbuf.at[slot], vssem.at[slot]),
+        )
+
+    def start(it, slot):
+        for c in copy(it, slot):
+            c.start()
+
+    def wait(slot):
+        for c in copy(0, slot):  # src index irrelevant for the wait
+            c.wait()
+
+    def out_copies(b, oslot):
+        lw = lastw
+        return (
+            pltpu.make_async_copy(
+                kout.at[oslot], ko_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                kosem.at[oslot]),
+            pltpu.make_async_copy(
+                vout.at[oslot], vo_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                vosem.at[oslot]),
+            pltpu.make_async_copy(
+                ksout.at[oslot], kso_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                ksosem.at[oslot]),
+            pltpu.make_async_copy(
+                vsout.at[oslot], vso_hbm.at[li, b, lw, pl.ds(hs, hb)],
+                vsosem.at[oslot]),
+        )
+
+    def wait_out(oslot):
+        for c in out_copies(0, oslot):
+            c.wait()
+
+    start(0, 0)
+
+    @pl.when(total > 1)
+    def _():
+        start(1, 1)
+
+    def body(it, carry):
+        m, l, acc = carry
+        b, w = coords(it)
+        slot = lax.rem(it, 2)
+        wait(slot)
+
+        reset = w == 0
+        m = jnp.where(reset, jnp.full_like(m, -1e30), m)
+        l = jnp.where(reset, jnp.zeros_like(l), l)
+        acc = jnp.where(reset, jnp.zeros_like(acc), acc)
+
+        q = q_ref[b].astype(jnp.float32) * scale  # [hb, D]
         # lax.slice_in_dim, not q[:, :D2]: jnp fancy-slicing lowers to a
         # gather Mosaic has no rule for at these shapes
         q_hi = lax.slice_in_dim(q, 0, D2, axis=1)[:, None, :]  # [hb, 1, D2]
         q_lo = lax.slice_in_dim(q, D2, D, axis=1)[:, None, :]
+        k_hi, k_lo = _unpack4(kbuf[slot].astype(jnp.float32))  # [hb, D2, W]
         s = (
             lax.dot_general(q_hi, k_hi, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
             + lax.dot_general(q_lo, k_lo, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
         )[:, 0, :]  # [hb, W]
-        s = s * ks_ref[0, 0, 0]
+        s = s * ksbuf[slot]
         kpos = w * W + lax.broadcasted_iota(jnp.int32, (hb, W), 1)
         s = jnp.where(kpos < index, s, MASK_VALUE)
-        m_prev = m_ref[:, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        pv = p * vs_ref[0, 0, 0]
-        vf = v_ref[0, 0, 0].astype(jnp.float32)
-        v_hi, v_lo = _unpack4(vf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        alpha = jnp.exp(m - m_new)  # [hb]
+        p = jnp.exp(s - m_new[:, None])  # [hb, W]
+        l = l * alpha + jnp.sum(p, axis=1)
+        pv = p * vsbuf[slot]
+        v_hi, v_lo = _unpack4(vbuf[slot].astype(jnp.float32))
         ctx_hi = lax.dot_general(pv[:, None, :], v_hi,
                                  (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)[:, 0, :]
@@ -497,43 +555,67 @@ def _decode_kernel4(s_ref, q_ref, kc_ref, vc_ref, k_ref, v_ref, ks_ref, vs_ref,
                                  (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)[:, 0, :]
         ctx = jnp.concatenate([ctx_hi, ctx_lo], axis=1)  # [hb, D]
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + ctx
-        m_ref[:, 0] = m_new
+        acc = acc * alpha[:, None] + ctx
 
-    @pl.when(w == nw - 1)
-    def _finalize():
-        kc = kc_ref[0].astype(jnp.float32)
-        vc = vc_ref[0].astype(jnp.float32)
-        s_cur = jnp.sum(q * kc, axis=1)
-        m_prev = m_ref[:, 0]
-        m_fin = jnp.maximum(m_prev, s_cur)
-        alpha = jnp.exp(m_prev - m_fin)
-        p_cur = jnp.exp(s_cur - m_fin)
-        l_fin = l_ref[:, 0] * alpha + p_cur
-        ctx = acc_ref[...] * alpha[:, None] + p_cur[:, None] * vc
-        o_ref[0] = (ctx / l_fin[:, None]).astype(o_ref.dtype)
+        @pl.when(w == lastw)
+        def _finalize():
+            kc = kc_ref[b].astype(jnp.float32)
+            vc = vc_ref[b].astype(jnp.float32)
+            s_cur = jnp.sum(q * kc, axis=1)
+            m_fin = jnp.maximum(m_new, s_cur)
+            a2 = jnp.exp(m_new - m_fin)
+            p_cur = jnp.exp(s_cur - m_fin)
+            l_fin = l * a2 + p_cur
+            out = acc * a2[:, None] + p_cur[:, None] * vc
+            o_ref[b] = (out / l_fin[:, None]).astype(o_ref.dtype)
 
-        # ---- quantize + pack the current column ----
-        ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 7.0
-        vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 7.0
-        kq = jnp.clip(jnp.round(kc / ks_new[:, None]), -7.0, 7.0)  # [hb, D]
-        vq = jnp.clip(jnp.round(vc / vs_new[:, None]), -7.0, 7.0)
+            # ---- quantize + pack the current column ----
+            ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / 7.0
+            vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / 7.0
+            kq = jnp.clip(jnp.round(kc / ks_new[:, None]), -7.0, 7.0)
+            vq = jnp.clip(jnp.round(vc / vs_new[:, None]), -7.0, 7.0)
 
-        def _pack(x):  # [hb, D] -> [hb, D2]; lax slices (gather-free)
-            hi = lax.slice_in_dim(x, 0, D2, axis=1)
-            lo = lax.slice_in_dim(x, D2, D, axis=1)
-            return 16.0 * hi + (lo + 8.0)
+            def _pack(x):  # [hb, D] -> [hb, D2]; lax slices (gather-free)
+                hi = lax.slice_in_dim(x, 0, D2, axis=1)
+                lo = lax.slice_in_dim(x, D2, D, axis=1)
+                return 16.0 * hi + (lo + 8.0)
 
-        # ---- windowed write-back (resident block == window lastw) ----
-        col = index - lastw * W
-        onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
-        onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
-        k_win = k_ref[0, 0, 0].astype(jnp.float32)
-        v_win = v_ref[0, 0, 0].astype(jnp.float32)
-        ko_ref[0, 0, 0] = jnp.where(onehot3, _pack(kq)[:, :, None], k_win).astype(jnp.int8)
-        vo_ref[0, 0, 0] = jnp.where(onehot3, _pack(vq)[:, :, None], v_win).astype(jnp.int8)
-        kso_ref[0, 0, 0] = jnp.where(onehot, ks_new[:, None], ks_ref[0, 0, 0])
-        vso_ref[0, 0, 0] = jnp.where(onehot, vs_new[:, None], vs_ref[0, 0, 0])
+            oslot = lax.rem(b, 2)
+
+            @pl.when(b >= 2)
+            def _():
+                wait_out(oslot)
+
+            col = index - lastw * W
+            onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
+            onehot3 = lax.broadcasted_iota(jnp.int32, (hb, D2, W), 2) == col
+            k_win = kbuf[slot].astype(jnp.float32)
+            v_win = vbuf[slot].astype(jnp.float32)
+            kout[oslot] = jnp.where(
+                onehot3, _pack(kq)[:, :, None], k_win).astype(jnp.int8)
+            vout[oslot] = jnp.where(
+                onehot3, _pack(vq)[:, :, None], v_win).astype(jnp.int8)
+            ksout[oslot] = jnp.where(onehot, ks_new[:, None], ksbuf[slot])
+            vsout[oslot] = jnp.where(onehot, vs_new[:, None], vsbuf[slot])
+            for c in out_copies(b, oslot):
+                c.start()
+
+        # issue i+2's prefetch only AFTER _finalize (it reuses this slot,
+        # and finalize reads the resident window for the write-back)
+        @pl.when(it + 2 < total)
+        def _():
+            start(it + 2, slot)
+
+        return m_new, l, acc
+
+    m0 = jnp.full((hb,), -1e30, jnp.float32)
+    l0 = jnp.zeros((hb,), jnp.float32)
+    acc0 = jnp.zeros((hb, D), jnp.float32)
+    lax.fori_loop(0, total, body, (m0, l0, acc0))
+
+    if batch >= 2:
+        wait_out((batch - 2) % 2)
+    wait_out((batch - 1) % 2)
 
 
 def decode_attention_quant4(
@@ -573,26 +655,32 @@ def decode_attention_quant4(
 
     scalars = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                          jnp.asarray(index, jnp.int32)])
-    col_spec = pl.BlockSpec((1, hb, D), lambda b, h, w, s: (b, h, 0))
-    cache_spec = pl.BlockSpec(
-        (1, 1, 1, hb, D2, W),
-        lambda b, h, w, s: (s[0], b, jnp.minimum(w, s[1] // W), h, 0, 0))
-    scale_spec = pl.BlockSpec(
-        (1, 1, 1, hb, W),
-        lambda b, h, w, s: (s[0], b, jnp.minimum(w, s[1] // W), h, 0))
-    win_spec = pl.BlockSpec(
-        (1, 1, 1, hb, D2, W), lambda b, h, w, s: (s[0], b, s[1] // W, h, 0, 0))
-    swin_spec = pl.BlockSpec(
-        (1, 1, 1, hb, W), lambda b, h, w, s: (s[0], b, s[1] // W, h, 0))
+    col_spec = pl.BlockSpec((B, hb, D), lambda h, s: (0, h, 0))
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, N // hb, nw),
+        grid=(N // hb,),
         in_specs=[col_spec, col_spec, col_spec,
-                  cache_spec, cache_spec, scale_spec, scale_spec],
-        out_specs=[col_spec, win_spec, win_spec, swin_spec, swin_spec],
-        scratch_shapes=[pltpu.VMEM((hb, D), jnp.float32),
-                        pltpu.VMEM((hb, 1), jnp.float32),
-                        pltpu.VMEM((hb, 1), jnp.float32)],
+                  any_spec, any_spec, any_spec, any_spec],
+        out_specs=[col_spec, any_spec, any_spec, any_spec, any_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, hb, D2, W), jnp.int8),  # kbuf
+            pltpu.VMEM((2, hb, D2, W), jnp.int8),  # vbuf
+            pltpu.VMEM((2, hb, W), jnp.float32),   # ksbuf
+            pltpu.VMEM((2, hb, W), jnp.float32),   # vsbuf
+            pltpu.VMEM((2, hb, D2, W), jnp.int8),  # kout (2-deep staging)
+            pltpu.VMEM((2, hb, D2, W), jnp.int8),  # vout
+            pltpu.VMEM((2, hb, W), jnp.float32),   # ksout
+            pltpu.VMEM((2, hb, W), jnp.float32),   # vsout
+            pltpu.SemaphoreType.DMA((2,)),         # ksem
+            pltpu.SemaphoreType.DMA((2,)),         # vsem
+            pltpu.SemaphoreType.DMA((2,)),         # kssem
+            pltpu.SemaphoreType.DMA((2,)),         # vssem
+            pltpu.SemaphoreType.DMA((2,)),         # kosem
+            pltpu.SemaphoreType.DMA((2,)),         # vosem
+            pltpu.SemaphoreType.DMA((2,)),         # ksosem
+            pltpu.SemaphoreType.DMA((2,)),         # vsosem
+        ],
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, N, D), q.dtype),
@@ -603,7 +691,7 @@ def decode_attention_quant4(
     ]
     aliases = {4: 1, 5: 2, 6: 3, 7: 4}
     ctx, k4, v4, kscale, vscale = pl.pallas_call(
-        functools.partial(_decode_kernel4, scale=scale),
+        functools.partial(_decode_kernel4, scale=scale, hb=hb, batch=B),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
