@@ -29,8 +29,14 @@ Usage (TPU; CPU works at --preset tiny scale):
 
 Measured on the v5e chip (tutorial 12L/1024H/16h, random bf16 init,
 batch 4, 256 teacher-forced steps) — see README "KV cache quality":
-the int8 cache's sampled flips stay in the low percents, int4 an order
-of magnitude higher; the defaults (int8 serving, int4 opt-in) follow.
+
+  int8: KL mean 2.3e-5 / p99 3.3e-5 nats, argmax flips 0.88%,
+        sampled flips 0.29%, mean |dlogit|@ref-argmax 0.005
+  int4: KL mean 1.2e-3 / p99 2.8e-3 nats, argmax flips 5.7%,
+        sampled flips 2.5%,  mean |dlogit|@ref-argmax 0.044
+
+The defaults follow from the data: int8 serving default (one sampled
+token in ~340 differs), int4 opt-in (one in ~40).
 """
 
 import argparse
