@@ -281,6 +281,13 @@ def bench_train(cfg, reps, batch):
     seq = int(os.environ.get("COGVIEW_BENCH_SEQ", "1089"))
     if seq != 1089:
         cfg = cfg.replace(max_position_embeddings=seq)
+    # COGVIEW_BENCH_FLASH=1|0 forces the Pallas flash kernel on/off
+    # (default: cfg "auto" routes by seq >= flash_min_seq)
+    fenv = os.environ.get("COGVIEW_BENCH_FLASH")
+    if fenv is not None:
+        if fenv not in ("0", "1"):
+            raise SystemExit(f"COGVIEW_BENCH_FLASH={fenv!r}: use 0|1")
+        cfg = cfg.replace(use_flash_attention=fenv == "1")
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
     state = init_train_state(params, tx)
@@ -318,7 +325,10 @@ def bench_train(cfg, reps, batch):
         "value": round(tps, 1), "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 79000.0, 2),
         "extra": {"batch": batch, "seq": seq, "reps": reps, "remat": renv,
-                  "attention": "sparse" if sparse else "dense",
+                  "attention": ("sparse" if sparse else
+                                "flash" if cfg.use_flash_attention is True or
+                                (cfg.use_flash_attention == "auto" and
+                                 seq >= cfg.flash_min_seq) else "dense"),
                   "ms_per_step": round(dt / reps * 1000, 1),
                   "vs_v100_sustained_30pct": round(tps / 23700.0, 2)},
     }
@@ -384,11 +394,13 @@ def main():
     tpl = compile_template(seq, _LayoutTokenizer(), padded_vocab=cfg.vocab_size)
     sp = SamplingParams(temperature=1.0, top_k=200, seed=0)
 
-    # warmup / compile.  np.asarray forces full materialization — on the
-    # tunneled runtime block_until_ready can return before execution ends.
+    # warmup / compile, phase-separated (generation/sampling.py
+    # filling_sequence_cold_start): trace vs backend-compile (persistent-
+    # cache-served when warm) vs first execution (remote program load on
+    # the tunneled runtime — outside any cache's reach)
+    from cogview_tpu.generation.sampling import filling_sequence_cold_start
     t0 = time.time()
-    tokens, _ = filling_sequence(params, cfg, tpl, batch, sp)
-    np.asarray(tokens)
+    (tokens, _), cold = filling_sequence_cold_start(params, cfg, tpl, batch, sp)
     compile_s = time.time() - t0
 
     t0 = time.time()
@@ -416,6 +428,7 @@ def main():
             "image_tokens_per_sec": round(tokens_per_sec, 1),
             "seconds_per_image": round(1.0 / images_per_sec, 3),
             "compile_seconds": round(compile_s, 1),
+            "cold_start": cold,
             "device": str(jax.devices()[0]),
             # measured by scripts/kv_quality_check.py (tutorial model,
             # batch 4, 256 teacher-forced steps, v5e; README "KV cache

@@ -51,6 +51,13 @@ def build_parser():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--max-polls", type=int, default=0,
                    help="stop after N polls (0 = forever); for testing")
+    p.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   default=True,
+                   help="skip the pre-serving warmup generation (default: "
+                        "compile + first-run the text2image program before "
+                        "accepting queries, so query one is not a cold "
+                        "start — first compiles run minutes on a cold "
+                        "cache; see utils/compile_cache.py)")
     return p
 
 
@@ -127,6 +134,25 @@ def main(argv=None) -> int:
 
     os.makedirs(args.input_folder_path, exist_ok=True)
     os.makedirs(args.img_folder_path, exist_ok=True)
+
+    if args.warmup and args.generation_task == "text2image":
+        # pre-load the generation program so the first real query does not
+        # pay trace + backend compile + remote program load.  The dummy
+        # text lands in the 32-token template bucket that short queries
+        # share (generation/tasks.py pad_bucket); longer queries compile
+        # their own bucket on first sight.
+        t0 = time.time()
+        try:
+            generate_once(
+                params, cfg, tokenizer, "warmup 预热", "text2image",
+                num=min(args.batch_size, args.max_inference_batch_size),
+                max_inference_batch_size=args.max_inference_batch_size,
+                sampling=sampling,
+            )
+            print(f"warmup: generation program ready in {time.time()-t0:.1f}s",
+                  flush=True)
+        except Exception as exc:  # never block serving on warmup
+            print(f"warmup skipped ({type(exc).__name__}: {exc})", flush=True)
 
     print(f"serving: watching {args.input_folder_path} every "
           f"{args.time_interval}s -> {args.img_folder_path}", flush=True)

@@ -436,6 +436,14 @@ def filling_sequence(
             f"{cfg.max_position_embeddings} position embeddings"
         )
     return _filling_sequence_jit(
+        *_fill_call_args(params, cfg, template, batch_size, sampling, rng)
+    )
+
+
+def _fill_call_args(params, cfg, template, batch_size, sampling, rng):
+    """The exact positional argument tuple of ``_filling_sequence_jit``
+    (shared by the normal call path and the AOT cold-start breakdown)."""
+    return (
         params,
         cfg,
         jnp.asarray(template.tokens),
@@ -453,3 +461,47 @@ def filling_sequence(
         float(sampling.top_p),
         int(template.fork_at),
     )
+
+
+def filling_sequence_cold_start(
+    params,
+    cfg: GPTConfig,
+    template: Template,
+    batch_size: int = 1,
+    sampling: SamplingParams = SamplingParams(),
+    rng: Optional[jax.Array] = None,
+):
+    """First-query latency breakdown: run the filling program through the
+    AOT stages and time each.  -> ((tokens, scores), phases dict).
+
+    Phases: ``trace_s`` (python tracing + StableHLO lowering, host-side),
+    ``backend_compile_s`` (XLA backend compile — a warm persistent cache
+    turns this into executable deserialization), ``first_exec_s`` (first
+    device execution: on the tunneled TPU runtime this bears the remote
+    program load/link, which the persistent cache cannot touch).  The sum
+    is what an interactive user waits on query one; bench.py reports it
+    as compile_seconds plus this breakdown."""
+    import time
+
+    rng = rbg_key(sampling.seed if rng is None else rng)
+    if template.fork_n > 1 and batch_size in (1, template.fork_n):
+        batch_size = template.fork_n
+    args = _fill_call_args(params, cfg, template, batch_size, sampling, rng)
+    t0 = time.time()
+    lowered = _filling_sequence_jit.lower(*args)
+    trace_s = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    backend_s = time.time() - t0
+    # Compiled.__call__ takes only the non-static args, in order
+    dyn = [a for i, a in enumerate(args) if i not in (1, 10, 11, 12, 13, 14, 15)]
+    t0 = time.time()
+    out = compiled(*dyn)
+    jax.block_until_ready(out)
+    np.asarray(out[0])  # the tunneled runtime's real fence
+    first_s = time.time() - t0
+    return out, {
+        "trace_s": round(trace_s, 2),
+        "backend_compile_s": round(backend_s, 2),
+        "first_exec_s": round(first_s, 2),
+    }

@@ -116,6 +116,24 @@ def _block_keep(seed_ref, bn, qi, kb, bq, bk, rate):
 # --------------------------------------------------------------------- #
 
 
+def _full_block_bounds(qi, bq, bk, sep, s_actual):
+    """(nfull, last): k-blocks [0, nfull) need NO masking for q-block qi
+    (every element visible: fully below the block's first row's diagonal,
+    or fully inside the bidirectional prefix — and fully in range), while
+    [nfull, last) need the element mask.  Splitting the k-loop this way
+    removes the per-element iota/compare/select chain from the vast
+    majority of blocks — the kernel is VPU-bound at D=64, so masked-path
+    ops are the margin dense attention was winning by (its mask is a
+    precomputed [1,1,S,S] broadcast read, amortized by XLA)."""
+    f_causal = (qi * bq + 1 - bk) // bk + 1  # (kb+1)*bk-1 <= qi*bq
+    f_sep = sep // bk  # fully inside the bidirectional prefix
+    nfull = jnp.clip(jnp.maximum(f_causal, f_sep), 0, s_actual // bk)
+    sep_blocks = -(-sep // bk)  # static cdiv
+    nkb = -(-s_actual // bk)
+    last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
+    return nfull, last
+
+
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
                 *, bq, bk, sep, s_actual, scale, rate):
     qi = pl.program_id(2)
@@ -125,20 +143,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
     # measured to be why flash lost to XLA's (bf16) dense attention at
     # S=1089.  Softmax stays f32.
     q = q_ref[0, 0, :, :]  # [bq, D]
-    sk_pad = k_ref.shape[2]
-    nkb = sk_pad // bk
 
     m = jnp.full((bq, 1), -jnp.inf, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc = jnp.zeros((bq, q.shape[-1]), jnp.float32)
 
-    def body(kb, carry):
+    def body(kb, carry, masked):
         m, l, acc = carry
         k = k_ref[0, 0, pl.ds(kb * bk, bk), :]  # [bk, D]
         v = v_ref[0, 0, pl.ds(kb * bk, bk), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if masked:
+            mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
+            s = jnp.where(mask, s, MASK_VALUE)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -152,11 +169,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, l_ref,
                                     preferred_element_type=jnp.float32)
         return m_new, l, acc
 
-    # blocks up to the diagonal contribute, plus the bidirectional prefix
-    # (kpos < sep) which may extend past this q-block's diagonal
-    sep_blocks = -(-sep // bk)  # static cdiv
-    last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
-    m, l, acc = lax.fori_loop(0, last, body, (m, l, acc))
+    nfull, last = _full_block_bounds(qi, bq, bk, sep, s_actual)
+    carry = lax.fori_loop(0, nfull,
+                          functools.partial(body, masked=False), (m, l, acc))
+    m, l, acc = lax.fori_loop(nfull, last,
+                              functools.partial(body, masked=True), carry)
     o_ref[0, 0, :, :] = (acc / l).astype(o_ref.dtype)
     l_ref[0, 0, :, 0] = (m + jnp.log(l))[:, 0]
 
@@ -176,17 +193,16 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     do = do_ref[0, 0, :, :]
     lse = lse_ref[0, 0, :, :]  # [bq,1]
     delta = delta_ref[0, 0, :, :]
-    sk_pad = k_ref.shape[2]
-    nkb = sk_pad // bk
 
     dq = jnp.zeros((bq, q.shape[-1]), jnp.float32)
 
-    def body(kb, dq):
+    def body(kb, dq, masked):
         k = k_ref[0, 0, pl.ds(kb * bk, bk), :]
         v = v_ref[0, 0, pl.ds(kb * bk, bk), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if masked:
+            mask = _causal_block_mask(qi, kb, bq, bk, sep, s_actual)
+            s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -198,9 +214,9 @@ def _bwd_dq_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return dq + jnp.dot(ds.astype(k.dtype), k,
                             preferred_element_type=jnp.float32)
 
-    sep_blocks = -(-sep // bk)  # prefix keys are visible past the diagonal
-    last = jnp.minimum(nkb, jnp.maximum((qi + 1) * bq // bk + 1, sep_blocks))
-    dq = lax.fori_loop(0, last, body, dq)
+    nfull, last = _full_block_bounds(qi, bq, bk, sep, s_actual)
+    dq = lax.fori_loop(0, nfull, functools.partial(body, masked=False), dq)
+    dq = lax.fori_loop(nfull, last, functools.partial(body, masked=True), dq)
     dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
 
 
@@ -216,15 +232,16 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk = jnp.zeros(k.shape, jnp.float32)
     dv = jnp.zeros(v.shape, jnp.float32)
 
-    def body(qb, carry):
+    def body(qb, carry, masked):
         dk, dv = carry
         q = q_ref[0, 0, pl.ds(qb * bq, bq), :]
         do = do_ref[0, 0, pl.ds(qb * bq, bq), :]
         lse = lse_ref[0, 0, pl.ds(qb * bq, bq), :]
         delta = delta_ref[0, 0, pl.ds(qb * bq, bq), :]
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _causal_block_mask(qb, ki, bq, bk, sep, s_actual)
-        s = jnp.where(mask, s, MASK_VALUE)
+        if masked:
+            mask = _causal_block_mask(qb, ki, bq, bk, sep, s_actual)
+            s = jnp.where(mask, s, MASK_VALUE)
         p = jnp.exp(s - lse)
         if rate > 0.0:
             keep = _block_keep(seed_ref, bn, qb, ki, bq, bk, rate)
@@ -240,9 +257,22 @@ def _bwd_dkv_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         return dk, dv
 
     # q-blocks at or after this k-block's diagonal — unless this k-block
-    # holds bidirectional-prefix keys (kpos < sep), visible to every q-block
+    # holds bidirectional-prefix keys (kpos < sep), visible to every
+    # q-block.  The masked region is the LOW-qb side (diagonal); q-blocks
+    # whose every row sees every key of this k-block ((ki+1)*bk-1 <=
+    # qb*bq, or the whole k-block inside the prefix) run unmasked —
+    # out-of-range q rows contribute exactly zero anyway (do = delta = 0
+    # there), but out-of-range KEYS require the mask, so a k-block
+    # touching s_actual stays fully masked.
     first = jnp.where(ki * bk < sep, 0, (ki * bk) // bq)
-    dk, dv = lax.fori_loop(first, nqb, body, (dk, dv))
+    qb_full = -(-((ki + 1) * bk - 1) // bq)
+    full_start = jnp.where((ki + 1) * bk <= sep,
+                           first, jnp.maximum(first, qb_full))
+    full_start = jnp.where((ki + 1) * bk <= s_actual, full_start, nqb)
+    dk, dv = lax.fori_loop(first, full_start,
+                           functools.partial(body, masked=True), (dk, dv))
+    dk, dv = lax.fori_loop(full_start, nqb,
+                           functools.partial(body, masked=False), (dk, dv))
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 

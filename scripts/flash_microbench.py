@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--mode", default="both", choices=["both", "fwd", "bwd"])
     ap.add_argument("--impl", default="both",
                     choices=["both", "flash", "dense"])
+    ap.add_argument("--remat", action="store_true",
+                    help="wrap the op in jax.checkpoint for the fwdbwd "
+                         "pass (reproduces the train step's cost "
+                         "structure: bwd re-runs the forward)")
+    ap.add_argument("--policy", default=None, choices=[None, "dots"],
+                    help="with --remat: use the model's "
+                         "dots_with_no_batch_dims_saveable policy instead "
+                         "of full recompute (gpt._maybe_checkpoint)")
     args = ap.parse_args()
 
     from cogview_tpu.utils.compile_cache import enable_persistent_cache
@@ -69,7 +77,52 @@ def main():
                                dropout_seed=seed if rate > 0 else None)
 
     def fwd_loss(fn):
-        return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32))
+        # quadratic loss: dO depends on the forward output, so XLA cannot
+        # elide any forward work inside grad (a sum loss has dO == 1 and
+        # lets dense skip its PV matmul entirely)
+        return lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2)
+
+    R = args.reps
+    from jax import lax
+
+    # per-jit-call dispatch through the tunneled runtime is ~50ms —
+    # larger than the op itself — so all reps run inside ONE jit via a
+    # scan whose carry perturbs q (defeats CSE without changing cost)
+    def many_fwd(fn):
+        def run(q, k, v):
+            def step(carry, _):
+                o = fn(q + carry.astype(q.dtype) * 1e-6, k, v)
+                return o.astype(jnp.float32), None
+            out, _ = lax.scan(step, jnp.zeros(q.shape, jnp.float32),
+                              None, length=R)
+            # return a SCALAR: the tunneled runtime fetches outputs at
+            # ~50MB/s, so returning the [B,S,N,D] array would swamp the
+            # measurement (measured: a 105 TFLOP/s matmul chain reads as
+            # 9.5 TFLOP/s when its 36MB output is fetched)
+            return jnp.sum(out)
+        return run
+
+    def many_bwd(fn):
+        if args.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if args.policy == "dots" else None)
+            fn = jax.checkpoint(fn, prevent_cse=False, policy=policy)
+        loss = fwd_loss(fn)
+        def run(q, k, v):
+            # grad wrt ALL inputs: grad-wrt-q-only lets XLA dead-code the
+            # entire dk/dv kernel (and the analogous dense matmuls)
+            def step(carry, _):
+                gq_prev, acc = carry
+                g = jax.grad(loss, argnums=(0, 1, 2))(
+                    q + gq_prev.astype(q.dtype) * 1e-6, k, v)
+                acc = (acc + jnp.sum(g[1]).astype(jnp.float32)
+                       + jnp.sum(g[2]).astype(jnp.float32))
+                return (g[0].astype(jnp.float32), acc), None
+            (gq, acc), _ = lax.scan(
+                step, (jnp.zeros(q.shape, jnp.float32), jnp.float32(0)),
+                None, length=R)
+            return jnp.sum(gq) + acc  # scalar fetch (see many_fwd)
+        return run
 
     impls = {}
     if args.impl in ("both", "flash"):
@@ -81,18 +134,16 @@ def main():
     for name, fn in impls.items():
         jobs = []
         if args.mode in ("both", "fwd"):
-            jobs.append(("fwd", jax.jit(fn)))
+            jobs.append(("fwd", jax.jit(many_fwd(fn))))
         if args.mode in ("both", "bwd"):
-            jobs.append(("fwdbwd", jax.jit(jax.grad(fwd_loss(fn)))))
+            jobs.append(("fwdbwd", jax.jit(many_bwd(fn))))
         for passname, jf in jobs:
             t0 = time.time()
             np.asarray(jf(q, k, v))  # compile + run
             compile_s = time.time() - t0
             t0 = time.time()
-            for _ in range(args.reps):
-                out = jf(q, k, v)
-            np.asarray(out)
-            ms = (time.time() - t0) / args.reps * 1e3
+            np.asarray(jf(q, k, v))
+            ms = (time.time() - t0) / R * 1e3
             fl = flops_fwd * (2.5 if passname == "fwdbwd" else 1.0)
             print(json.dumps({
                 "impl": name, "pass": passname, "ms": round(ms, 3),

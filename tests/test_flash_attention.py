@@ -82,6 +82,28 @@ def test_flash_backward_matches_dense():
         )
 
 
+@pytest.mark.parametrize("bq,bk", [(32, 64), (64, 32)])
+def test_flash_backward_asymmetric_blocks(bq, bk):
+    """bq != bk stresses the full/masked block-range bounds (r3 split:
+    unmasked fast path for fully-visible blocks) in both bwd kernels."""
+    s, sep = 200, 30
+    q, k, v = _mk(s, seed=5)
+
+    def loss_flash(q, k, v):
+        return jnp.mean(flash_attention(q, k, v, sep, bq, bk, True) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.mean(dense_attention(q, k, v, causal_mask(s, sep=sep)) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gd, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3,
+            err_msg=f"d{name} mismatch at bq={bq},bk={bk}",
+        )
+
+
 def test_flash_backward_with_padding_and_sep():
     s, sep = 150, 20  # not a block multiple
     q, k, v = _mk(s, seed=3)
