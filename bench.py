@@ -265,13 +265,14 @@ def bench_train(cfg, reps, batch):
     # COGVIEW_BENCH_SPARSE=1 trains with pivot+window sparse attention at
     # the reference script's geometry (text2image.sh:39-41: window 64,
     # times 4, 256 pivots; training tokens must divide the window).
-    # Measured long-context picture (tutorial width, v5e):
-    #   seq 1088:  dense 42.2k > sparse 37.5k tok/s (b16) — pivot gathers
-    #              cost more than the FLOPs they save; dense is the
-    #              reference's production path here too
-    #   seq 4224:  sparse 33.1k (b4) > flash 18.6k > dense 12.1k tok/s —
-    #              the regime the kernel exists for (reference's own test
-    #              geometry, mpu/sparse_transformer.py:753); sparse b8 OOMs
+    # Measured long-context picture (tutorial width, v5e, r3 flash):
+    #   seq 1089:  flash 45.7k (auto default) > dense 42.2k > sparse
+    #              37.5k tok/s (b16) — pivot gathers cost more than the
+    #              FLOPs they save at this length
+    #   seq 4225:  flash 34.6k (b4, bk=704) > sparse 33.1k > dense 12.1k
+    #              tok/s (r2 flash: 18.6k) — sparse stays opt-in like the
+    #              reference (mpu/sparse_transformer.py:753); sparse b8
+    #              OOMs
     sparse = os.environ.get("COGVIEW_BENCH_SPARSE", "0") == "1"
     if sparse:
         cfg = cfg.replace(query_window=64, key_window_times=4, num_pivot=256)
@@ -288,6 +289,11 @@ def bench_train(cfg, reps, batch):
         if fenv not in ("0", "1"):
             raise SystemExit(f"COGVIEW_BENCH_FLASH={fenv!r}: use 0|1")
         cfg = cfg.replace(use_flash_attention=fenv == "1")
+    # COGVIEW_BENCH_FLASH_BLOCKS=bq,bk overrides the flash tile sizes
+    benv = os.environ.get("COGVIEW_BENCH_FLASH_BLOCKS")
+    if benv:
+        bq_, bk_ = (int(x) for x in benv.split(","))
+        cfg = cfg.replace(flash_block_q=bq_, flash_block_k=bk_)
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     tx, _ = make_optimizer(params, lr=1e-4, warmup_iter=10, num_iters=1000)
     state = init_train_state(params, tx)

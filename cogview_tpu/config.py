@@ -52,7 +52,14 @@ class GPTConfig:
     # flash runs it).  "auto" (default) picks flash iff the sequence
     # length >= flash_min_seq; True/False force it.
     use_flash_attention: "bool | str" = "auto"
-    flash_min_seq: int = 2048
+    # flash wins the full train step from ~1k tokens once block_k is
+    # pad-aware (measured S=1089 b16: flash bk=576 45.9k tok/s > dense
+    # 42.2k > flash bk=128 38.1k); below that dense stays cheaper
+    flash_min_seq: int = 1024
+    # flash kernel tile sizes; None = auto (largest block with minimal
+    # S-padding, ops/flash_attention.py pick_flash_blocks)
+    flash_block_q: "int | None" = 128
+    flash_block_k: "int | None" = None
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
     # autoregressive KV cache storage: "bfloat16" (exact, XLA attention),

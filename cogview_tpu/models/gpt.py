@@ -414,8 +414,13 @@ def _layer_body(
         # from this layer's attention key — ops/flash_attention.py)
         rate = cfg.attention_dropout if lseed is not None else 0.0
         seed = (lseed ^ jnp.uint32(0x5BD1E995)) if rate > 0.0 else None
+        from ..ops.flash_attention import pick_flash_blocks
+        abq, abk = pick_flash_blocks(S)
         ctx = flash_attention(
-            q, k, v, sep_for_flash, dropout_rate=rate, dropout_seed=seed,
+            q, k, v, sep_for_flash,
+            block_q=cfg.flash_block_q or abq,
+            block_k=cfg.flash_block_k or abk,
+            dropout_rate=rate, dropout_seed=seed,
         ).reshape(B, S, H)
     else:
         ctx = dense_attention(
@@ -479,8 +484,18 @@ def _maybe_checkpoint(body, remat):
     config; bench COGVIEW_BENCH_REMAT)."""
     if not remat:
         return body
-    policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-              if remat == "dots" else None)
+    if remat == "dots":
+        # also save the flash kernel's named outputs (o, lse): without
+        # them the backward replay re-runs the whole forward pallas call
+        # per layer just to rebuild those residuals
+        # (ops/flash_attention.py _flash_fwd_impl)
+        policy = jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names(
+                "flash_o", "flash_lse"),
+        )
+    else:
+        policy = None
     return jax.checkpoint(body, prevent_cse=False, policy=policy)
 
 

@@ -27,16 +27,24 @@ mask in a dense XLA computation.
 Layout: [B, S, N, D]; wrapper pads S up to the q/k block size.  All
 compute fp32 inside the kernel regardless of input dtype.
 
-Measured on the target v5e chip (tutorial 12L/1024H/16N, remat, dropout
-0.1, full train step):
+Measured on the target v5e chip (tutorial 12L/1024H/16N, dots-policy
+remat, dropout 0.1, full train step, batch 16 at S=1089):
 
-  S=1089: dense 38-40k tok/s vs flash 32-34k at every batch 8-32 (neither
-          OOMs) — dense wins ~18% when the scores fit;
-  S=4096: dense  batch 4 = 12.1k tok/s, batch 8 = OOM (22.5G > 15.75G);
-          flash  batch 4 = 18.6k (1.53x), batch 8 = 18.6k (2x max batch).
+  r2 kernel (every block masked, bq=bk=128, fwd replayed in the remat
+  backward): flash 32-34k tok/s vs XLA dense 38-42k — dense won ~18%.
+  r3, after three changes, flash wins at the production length:
+    + full/masked k-loop split (most blocks skip the iota/compare/select
+      chain; the kernel is VPU-bound at D=64)        -> op-level win
+    + checkpoint_name(o/lse) + policy saves them (the remat replay was
+      re-running the whole fwd kernel per layer)      33.8k -> 38.1k
+    + pad-aware large k-blocks (pick_flash_blocks;
+      bk=576 at S=1089)                               38.1k -> 45.9k
+  vs XLA dense 42.2k tok/s: flash is now +9% AND still the only path
+  that fits S>=4k batches (dense [B,N,S,S] fp32 scores OOM at S=4096
+  b8; flash runs it).
 
 GPTConfig.use_flash_attention="auto" (default) picks flash iff
-S >= flash_min_seq (2048), which follows this data.
+S >= flash_min_seq (1024), which follows this data.
 """
 
 from __future__ import annotations
@@ -53,6 +61,24 @@ from .hash_prng import hash_u32, seed_from_key  # noqa: F401  (re-exported)
 MASK_VALUE = -10000.0
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
+
+# candidate k-block sizes for auto selection (all lane-friendly
+# 128-multiples; larger blocks cut the per-block online-softmax
+# bookkeeping — the kernel is VPU-bound at D=64)
+_BLOCK_K_CANDIDATES = (704, 640, 576, 512, 448, 384, 320, 256, 192, 128)
+
+
+def pick_flash_blocks(seq_len: int) -> tuple[int, int]:
+    """(block_q, block_k) for a sequence length: block_q stays 128 (the
+    measured winner — larger q-blocks add padded-row work faster than
+    they amortize), block_k is the largest candidate whose padded length
+    ceil(S/bk)*bk is minimal, so long k-loops shrink without paying pad
+    FLOPs.  Measured (tutorial train step, S=1089 -> pad 1152, b16):
+    bk=576 45.9k tok/s, bk=384 44.8k, bk=128 38.1k, XLA dense 42.2k."""
+    padded = {bk: -(-seq_len // bk) * bk for bk in _BLOCK_K_CANDIDATES}
+    best_pad = min(padded.values())
+    bk = max(b for b, p in padded.items() if p == best_pad)
+    return DEFAULT_BLOCK_Q, bk
 
 
 def _causal_block_mask(qi, kb, bq, bk, sep, s_actual):
@@ -363,6 +389,18 @@ def _flash_fwd_impl(q, k, v, seed, sep, bq, bk, interpret, rate):
         interpret=interpret,
     )(seed, qp, kp, vp)
     o = jnp.transpose(o, (0, 2, 1, 3))[:, :S]
+    # Name the two forward products the backward needs as residuals: a
+    # remat policy that saves these names (gpt._maybe_checkpoint extends
+    # the dots policy with them) lets the checkpoint replay substitute the
+    # saved values and dead-code the forward kernel out of the backward
+    # pass entirely.  Measured (tutorial train step, b16, S=1089): without
+    # this the policy-remat replay re-runs the fwd kernel and flash loses
+    # to dense 33.8k vs 42.2k tok/s, despite winning every op-level
+    # comparison; the names cost ~37MB/layer saved o+lse at b16.
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "flash_o")
+    lse = checkpoint_name(lse, "flash_lse")
     return o, (q, k, v, seed, o, lse)
 
 

@@ -82,7 +82,19 @@ def test_flash_backward_matches_dense():
         )
 
 
-@pytest.mark.parametrize("bq,bk", [(32, 64), (64, 32)])
+def test_pick_flash_blocks():
+    """Auto block selection: minimal padded length, largest block wins
+    ties (ops/flash_attention.pick_flash_blocks)."""
+    from cogview_tpu.ops.flash_attention import pick_flash_blocks
+
+    assert pick_flash_blocks(1089) == (128, 576)   # 1152 pad, 576 > 384
+    assert pick_flash_blocks(1345) == (128, 704)   # 1408 pad, 704 > 128
+    assert pick_flash_blocks(4224) == (128, 704)   # exact multiple (6x704)
+    assert pick_flash_blocks(4096) == (128, 512)   # exact multiple
+    assert pick_flash_blocks(128) == (128, 128)
+
+
+@pytest.mark.parametrize("bq,bk", [(32, 64), (64, 32), (32, 96)])
 def test_flash_backward_asymmetric_blocks(bq, bk):
     """bq != bk stresses the full/masked block-range bounds (r3 split:
     unmasked fast path for fully-visible blocks) in both bwd kernels."""

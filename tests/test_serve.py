@@ -95,3 +95,25 @@ def test_process_file_writes_outputs(tmp_path, monkeypatch):
     assert n == 2
     assert (img_dir / "queries-0" / "0.png").exists()
     assert (img_dir / "queries-0" / "1.png").exists()
+
+
+def test_main_warmup_runs_before_serving(tmp_path, monkeypatch):
+    """--warmup (default): a dummy text2image generation compiles the
+    program before the first poll; --no-warmup skips it.  Model loading
+    and generation are stubbed — this covers the serve wiring only."""
+    calls = []
+    monkeypatch.setattr(serve, "load_model", lambda args: ("P", "CFG"))
+    monkeypatch.setattr(serve, "build_tokenizer", lambda args: "TOK")
+    monkeypatch.setattr(
+        serve, "generate_once",
+        lambda *a, **k: calls.append(a[3]) or _FakeResult())
+
+    inp, img = tmp_path / "in", tmp_path / "img"
+    argv = ["--input-folder-path", str(inp), "--img-folder-path", str(img),
+            "--max-polls", "1", "--time-interval", "0"]
+    assert serve.main(argv) == 0
+    assert len(calls) == 1 and "warmup" in calls[0]
+
+    calls.clear()
+    assert serve.main(argv + ["--no-warmup"]) == 0
+    assert calls == []
