@@ -351,7 +351,7 @@ def main():
         # measured-best defaults (v5e): train peaks at batch 16 (40.8k
         # tok/s vs 32k at 8, 39.5k at 32; no-remat OOMs at 16); vq batch 32
         # amortizes the ~50ms per-call dispatch latency of this runtime;
-        # sr batch 16 = 7.1 s/img vs 9.8 at 8 (weights amortize across the
+        # sr batch 16 = 6.9 s/img (r3 live-window kernel; r2: 7.1) vs 9.8 at 8 (weights amortize across the
         # windowed decodes)
         defaults = {"train": "16", "vq": "32", "sr": "16"}
         batch = int(os.environ.get(

@@ -261,6 +261,19 @@ def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
 # --------------------------------------------------------------------- #
 
 
+def should_use_flash(cfg: GPTConfig, seq_len: int) -> bool:
+    """Flash-attention eligibility for a training/prefill sequence.
+    float16 compute is excluded even when forced: Mosaic has no f16
+    lowering ("Unsupported type in mosaic dialect: 'f16'", measured on
+    the v5e runtime), so the reference-parity --fp16 path must stay on
+    XLA dense attention."""
+    if cfg.compute_dtype == jnp.float16:
+        return False
+    return (cfg.use_flash_attention is True
+            or (cfg.use_flash_attention == "auto"
+                and seq_len >= cfg.flash_min_seq))
+
+
 def _dropout(x, rate, seed, train, salt=0):
     """Counter-hash dropout (ops/hash_prng.py): any jax.random draw inside
     the scanned layer body costs a ~3 min first-execution stall on this
@@ -404,12 +417,7 @@ def _layer_body(
             dropout_rate=cfg.attention_dropout, dropout_seed=lseed,
             train=train,
         ).reshape(B, S, H)
-    elif (
-        (cfg.use_flash_attention is True
-         or (cfg.use_flash_attention == "auto" and S >= cfg.flash_min_seq))
-        and kv is None
-        and sep_for_flash is not None
-    ):
+    elif should_use_flash(cfg, S) and kv is None and sep_for_flash is not None:
         # attention-prob dropout runs inside the kernel (hash-PRNG seeded
         # from this layer's attention key — ops/flash_attention.py)
         rate = cfg.attention_dropout if lseed is not None else 0.0

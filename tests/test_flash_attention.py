@@ -82,6 +82,30 @@ def test_flash_backward_matches_dense():
         )
 
 
+def test_fp16_never_routes_to_flash(monkeypatch):
+    """Mosaic has no f16 lowering ('Unsupported type in mosaic dialect:
+    f16', measured on-chip), so the --fp16 parity path must fall back to
+    dense even when flash is forced (gpt.should_use_flash)."""
+    from cogview_tpu.config import tiny_test
+    from cogview_tpu.models import gpt
+
+    def boom(*a, **k):
+        raise AssertionError("flash_attention called")
+
+    monkeypatch.setattr(gpt, "flash_attention", boom)
+    cfg16 = tiny_test(pb_relax=False, use_flash_attention=True,
+                      compute_dtype=jnp.float16)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg16)
+    tokens = jnp.zeros((1, 24), jnp.int32)
+    out = gpt.forward(params, cfg16, tokens)  # dense path, no raise
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    cfgbf = tiny_test(pb_relax=False, use_flash_attention=True)
+    params = gpt.init_params(jax.random.PRNGKey(0), cfgbf)
+    with pytest.raises(AssertionError, match="flash_attention called"):
+        gpt.forward(params, cfgbf, tokens)
+
+
 def test_pick_flash_blocks():
     """Auto block selection: minimal padded length, largest block wins
     ties (ops/flash_attention.pick_flash_blocks)."""
