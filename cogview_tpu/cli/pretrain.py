@@ -186,6 +186,12 @@ def main(argv=None) -> int:
     mesh = create_mesh(model_parallel=mp, data_parallel=n_dev // mp)
     print(f"mesh: data={n_dev // mp} x model={mp}; config {args.preset} "
           f"({cfg.num_layers}L/{cfg.hidden_size}H/{cfg.num_heads}h, vocab {cfg.vocab_size})")
+    if args.batch_size % (n_dev // mp):
+        # fail with a readable message instead of device_put's sharding
+        # error deep inside the first step
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the data "
+            f"axis ({n_dev // mp} = {n_dev} devices / model_parallel {mp})")
 
     data_cfg = DataConfig(
         train_data=args.train_data or (),

@@ -145,10 +145,26 @@ def test_pretrain_cli_max_memory_length(tmp_path):
     rows.tofile(path)
 
     rc = main([
+        # batch must divide the 8-device conftest mesh's data axis
         "--preset", "smoke", "--train-data", path,
-        "--train-iters", "2", "--batch-size", "2",
+        "--train-iters", "2", "--batch-size", "8",
         "--max-memory-length", "128",
         "--log-interval", "1", "--eval-interval", "100",
         "--split", "1.0,0.0,0.0",
     ])
     assert rc == 0
+
+
+def test_pretrain_cli_rejects_indivisible_batch(tmp_path):
+    """A batch size that does not divide the mesh's data axis fails fast
+    with a readable message, not a device_put sharding error mid-step."""
+    from cogview_tpu.cli.pretrain import main
+
+    rows = np.full((8, 64 + 1024), -1, np.int32)
+    rows[:, 64:] = 0
+    path = str(tmp_path / "tiny_t2i.bin")
+    rows.tofile(path)
+    with pytest.raises(SystemExit, match="divisible by the data axis"):
+        main(["--preset", "smoke", "--train-data", path,
+              "--train-iters", "1", "--batch-size", "2",
+              "--split", "1.0,0.0,0.0"])
