@@ -79,12 +79,15 @@ def test_quantized_decode_sharded_over_data_axis(eight_devices):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
-def test_quantized_decode_sharded_dp_and_tp(eight_devices):
+@pytest.mark.parametrize("kvdt", ["int8", "int4"])
+def test_quantized_decode_sharded_dp_and_tp(eight_devices, kvdt):
     """decode_shard_axis='data' + decode_head_axis='model' on a 4x2 mesh:
-    the int8 decode kernel runs per (DP, TP) shard — batch rows over data,
-    heads over model — and matches the unsharded decode."""
+    the quantized decode kernels (int8 AND the packed-nibble int4 flavor)
+    run per (DP, TP) shard — batch rows over data, heads over model — and
+    match the unsharded decode bit-for-bit (same quantization both
+    sides)."""
     cfg = tiny_test(pb_relax=False, compute_dtype=jnp.float32,
-                    kv_cache_dtype="int8")  # 8 heads -> 2 per model shard
+                    kv_cache_dtype=kvdt)  # 8 heads -> 2 per model shard
     params = gpt.init_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.RandomState(1)
     B, S, ctx = 4, 18, 10
