@@ -260,3 +260,21 @@ def test_add_fork_marks_and_validation(tok):
     with pytest.raises(ValueError):
         compile_template([tok["[BOI1]"], -2, -2], tok,
                          padded_vocab=CFG.vocab_size)  # two markers
+
+
+def test_cold_start_breakdown_matches_normal_path(tok, params):
+    """filling_sequence_cold_start: AOT-phase timings present and the
+    tokens identical to the normal call (same program, same rng)."""
+    from cogview_tpu.generation.sampling import filling_sequence_cold_start
+
+    seq = [tok["[ROI1]"], 40, tok["[BASE]"], tok["[BOI1]"]] + [-1] * 6
+    tpl = compile_template(seq, tok, padded_vocab=CFG.vocab_size)
+    sp = SamplingParams(seed=7)
+    (tokens, scores), phases = filling_sequence_cold_start(
+        params, CFG, tpl, 2, sp)
+    want, wscores = filling_sequence(params, CFG, tpl, 2, sp)
+    np.testing.assert_array_equal(np.asarray(tokens), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(wscores),
+                               rtol=1e-6)
+    assert set(phases) == {"trace_s", "backend_compile_s", "first_exec_s"}
+    assert all(v >= 0 for v in phases.values())
