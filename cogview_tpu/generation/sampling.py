@@ -484,7 +484,10 @@ def filling_sequence_cold_start(
     import time
 
     rng = rbg_key(sampling.seed if rng is None else rng)
-    if template.fork_n > 1 and batch_size in (1, template.fork_n):
+    if template.fork_n > 1:
+        if batch_size not in (1, template.fork_n):
+            raise ValueError(  # same contract as filling_sequence
+                f"template forks to {template.fork_n} but batch_size={batch_size}")
         batch_size = template.fork_n
     args = _fill_call_args(params, cfg, template, batch_size, sampling, rng)
     t0 = time.time()
