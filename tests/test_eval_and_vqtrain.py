@@ -188,3 +188,56 @@ def test_gumbel_trainer_hard_updates_codebook():
     assert np.isfinite(float(metrics["kl"]))
     embed1 = np.asarray(state["params"]["quantize"]["embed"])
     assert np.abs(embed1 - embed0).max() > 0  # EMA moved the codebook
+
+
+@pytest.mark.slow
+def test_vqtrain_cli_end_to_end(tmp_path):
+    """cli/vqtrain end-to-end over a folder of images (the stage-1
+    trainer the reference README documents but never shipped,
+    vqvae/README.md:20-24): 2 iters on the 8-device conftest mesh,
+    checkpoint written, metrics JSONL emitted."""
+    from PIL import Image
+
+    from cogview_tpu.cli.vqtrain import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        Image.fromarray(rng.randint(0, 255, (20, 20, 3), np.uint8)).save(
+            img_dir / f"{i}.png")
+
+    save_dir = tmp_path / "ckpt"
+    rc = main([
+        "--data", str(img_dir), "--img-size", "16",
+        # batch must divide the 8-device conftest mesh's data axis
+        "--batch-size", "8", "--train-iters", "2",
+        "--channel", "8", "--embed-dim", "8", "--n-embed", "16",
+        "--save", str(save_dir), "--save-interval", "2",
+        "--log-interval", "1", "--summary-dir", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    assert (save_dir / "2").exists()
+    assert (tmp_path / "logs" / "vqtrain.metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_vqtrain_cli_gumbel_mode(tmp_path):
+    from PIL import Image
+
+    from cogview_tpu.cli.vqtrain import main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(8):
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            img_dir / f"{i}.png")
+
+    rc = main([
+        "--data", str(img_dir), "--img-size", "16",
+        "--batch-size", "8", "--train-iters", "2",
+        "--channel", "8", "--embed-dim", "8", "--n-embed", "16",
+        "--gumbel", "--gumbel-hard", "--log-interval", "1",
+    ])
+    assert rc == 0
