@@ -1,6 +1,6 @@
 """Preprocessing CLI — the reference ``preprocess_entry.py`` rebuilt.
 
-Streams images from a folder/zip/tar/h5 source, looks up captions in a
+Streams images from a folder/zip/tar/rar/h5 source, looks up captions in a
 TSV/JSON text source, VQ-encodes on the accelerator, and writes training
 corpora: CompactBinary .bin for text2image, IndexedDataset for
 super-resolution pairs and pure text.
@@ -33,7 +33,7 @@ def build_parser():
     p.add_argument("--lmdb-path", default=None,
                    help="LMDB environment dir (or data.mdb) for import-lmdb")
     p.add_argument("--image-source", default=None,
-                   help="dir | .zip | .tar[.gz] | .h5 of images")
+                   help="dir | .zip | .tar[.gz] | .rar | .h5 of images")
     p.add_argument("--text-source", default=None, help=".tsv or .json captions")
     p.add_argument("--output", required=True)
     p.add_argument("--img-tokenizer-path", default=None)

@@ -1,9 +1,10 @@
 """Archive/image sources for offline preprocessing.
 
-Rebuild of preprocess/raw_datasets.py: directory, zip, tar(-stream) and
-HDF5 image sources, all yielding (sample_id, normalized [h,w,3] float32)
-pairs ready for VQ encoding, plus TSV/JSON text lookup.  RAR is not
-supported (no unrar in this environment — convert archives to zip/tar).
+Rebuild of preprocess/raw_datasets.py: directory, zip, tar(-stream), RAR
+(via the system libarchive — rar_reader.py; the reference's
+RarDataset/StreamingRarDataset, raw_datasets.py:38-60,147-224) and HDF5
+image sources, all yielding (sample_id, normalized [h,w,3] float32)
+pairs ready for VQ encoding, plus TSV/JSON text lookup.
 """
 
 from __future__ import annotations
@@ -104,6 +105,26 @@ class TarDataset:
                     yield member.name, arr
 
 
+class RarDataset:
+    """RAR4/RAR5 image source (reference RarDataset + the streaming
+    variant: libarchive decodes sequentially in constant memory, so the
+    single class covers both).  Accepts a path or a binary stream."""
+
+    def __init__(self, path_or_stream, img_size: int = 256):
+        self.source = path_or_stream
+        self.img_size = img_size
+
+    def __iter__(self):
+        from .rar_reader import iter_rar_entries
+
+        for name, data in iter_rar_entries(self.source):
+            if not name.lower().endswith(IMG_EXTS):
+                continue
+            arr = _decode(name, data, self.img_size)
+            if arr is not None:
+                yield name, arr
+
+
 class H5Dataset:
     """HDF5 image arrays: dataset of [n, h, w, 3] uint8 plus optional
     'names' (preprocess/raw_datasets.py:88 analog)."""
@@ -135,6 +156,8 @@ def open_image_source(path: str, img_size: int = 256):
         return ZipDataset(path, img_size)
     if path.endswith((".tar", ".tar.gz", ".tgz")):
         return TarDataset(path, img_size)
+    if path.endswith(".rar"):
+        return RarDataset(path, img_size)
     if path.endswith((".h5", ".hdf5")):
         return H5Dataset(path, img_size=img_size)
     raise ValueError(f"unsupported image source: {path}")

@@ -130,3 +130,85 @@ def test_cut_text_rows(tok, tmp_path):
     s = ds[0]
     assert s["text"].shape == (64,)
     assert s["loss_mask"].sum() == 64
+
+
+def _png_bytes(seed: int, size=(20, 16)) -> bytes:
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    buf = io.BytesIO()
+    Image.fromarray(rng.randint(0, 255, (*size, 3), np.uint8)).save(
+        buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture
+def rar_path(tmp_path):
+    from cogview_tpu.preprocess.rar_reader import write_stored_rar4
+
+    files = {f"sub/img_{i}.png": _png_bytes(i) for i in range(4)}
+    files["caption.txt"] = b"not an image"
+    return write_stored_rar4(str(tmp_path / "imgs.rar"), files), files
+
+
+def test_rar_roundtrip_bytes(rar_path):
+    """write_stored_rar4 -> libarchive decode: names + bytes exact (the
+    decoder checks both header CRC16 and per-file CRC32, so this pins the
+    writer to the real RAR4 format, not to our own parser)."""
+    from cogview_tpu.preprocess.rar_reader import has_rar_support, iter_rar_entries
+
+    if not has_rar_support():
+        pytest.skip("system libarchive not available")
+    path, files = rar_path
+    assert dict(iter_rar_entries(path)) == files
+
+
+def test_rar_streaming_nonseekable(rar_path):
+    """StreamingRarDataset analog: a non-seekable stream decodes the same
+    entries (libarchive consumes it via read callbacks, single pass)."""
+    from cogview_tpu.preprocess.rar_reader import has_rar_support, iter_rar_entries
+
+    if not has_rar_support():
+        pytest.skip("system libarchive not available")
+    path, files = rar_path
+
+    class NonSeekable(io.RawIOBase):
+        def __init__(self, b):
+            self.b = io.BytesIO(b)
+
+        def read(self, n=-1):
+            return self.b.read(n)
+
+        def seekable(self):
+            return False
+
+    with open(path, "rb") as f:
+        data = f.read()
+    assert dict(iter_rar_entries(NonSeekable(data))) == files
+
+
+def test_rar_corruption_detected(rar_path):
+    from cogview_tpu.preprocess.rar_reader import has_rar_support, iter_rar_entries
+
+    if not has_rar_support():
+        pytest.skip("system libarchive not available")
+    path, _ = rar_path
+    bad = bytearray(open(path, "rb").read())
+    bad[-40] ^= 0xFF
+    with pytest.raises(RuntimeError):
+        dict(iter_rar_entries(io.BytesIO(bytes(bad))))
+
+
+def test_rar_image_source(rar_path):
+    """open_image_source('.rar') yields decoded images, skipping the
+    non-image member (reference RarDataset, raw_datasets.py:38-60)."""
+    from cogview_tpu.preprocess.rar_reader import has_rar_support
+    from cogview_tpu.preprocess.raw_datasets import open_image_source
+
+    if not has_rar_support():
+        pytest.skip("system libarchive not available")
+    path, _ = rar_path
+    items = list(open_image_source(path, img_size=16))
+    assert sorted(n for n, _ in items) == [f"sub/img_{i}.png" for i in range(4)]
+    for _, arr in items:
+        assert arr.shape == (16, 16, 3) and np.isfinite(arr).all()
