@@ -211,7 +211,7 @@ def main(argv=None) -> int:
                 max_inference_batch_size=args.max_inference_batch_size,
                 sampling=sampling,
             )
-            if task == "image2text":
+            if task == "image2text" or (task == "raw" and not res.images):
                 for parts in res.texts:
                     print([p for p in parts if isinstance(p, str)])
             else:

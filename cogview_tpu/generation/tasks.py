@@ -33,6 +33,10 @@ QUERY_TEMPLATES = {
     ),
     "super-resolution": "[ROI1] {} [BASE] [BOI1] [Image]{}",
     "post-selection": "[BASE] [BOI1] [Image]{} [EOI1] [ROI1] {}",
+    # the input line IS the template-language query.  The reference lists
+    # this choice (arguments.py:216) but its driver raises
+    # NotImplementedError (generate_samples.py:212); here it works.
+    "raw": "{}",
 }
 
 
@@ -46,7 +50,9 @@ def parse_query_line(
 ) -> List[int]:
     """reference _parse_and_to_tensor (generate_samples.py:68-73)."""
     template = QUERY_TEMPLATES[task]
-    text = template.format(*raw_text.split("\t"))
+    # 'raw' passes the whole line through (tabs and all); the templated
+    # tasks fill their slots from tab-separated fields
+    text = raw_text if task == "raw" else template.format(*raw_text.split("\t"))
     return tokenizer.parse_query(text, img_size=img_size or task_img_size(task))
 
 

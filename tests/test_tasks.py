@@ -151,3 +151,18 @@ def test_magnify_batched_matches_shapes(tok):
     assert (out >= 0).all() and (out < 16).all()
     # different inputs produce different outputs
     assert not np.array_equal(out[0], out[1])
+
+
+@needs_model
+def test_raw_task_flow(tok, params):
+    """'raw' task: the input line IS the template-language query (the
+    reference declares the choice, arguments.py:216, but its driver
+    raises NotImplementedError; here it generates)."""
+    raw = "[ROI1] 一只猫 [BASE] [BOI1] [MASK]*16 [EOI1]"
+    seq = parse_query_line(raw, "raw", tok)
+    assert seq == tok.parse_query(raw)  # passed through untouched
+
+    res = generate_once(params, CFG, tok, raw, task="raw", num=2,
+                        sampling=SamplingParams(seed=0))
+    assert len(res.images) == 2  # the [MASK] block filled with image codes
+    assert res.images[0].shape == (1, 4, 4, 3)
