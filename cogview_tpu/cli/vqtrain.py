@@ -28,8 +28,8 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser("cogview-tpu vqtrain")
     p.add_argument("--data", required=True,
-                   help="image source: folder, .zip, .tar(.gz), or .h5 "
-                        "(preprocess/raw_datasets.py)")
+                   help="image source: folder, .zip, .tar(.gz), .rar, or "
+                        ".h5 (preprocess/raw_datasets.py)")
     p.add_argument("--img-size", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--train-iters", type=int, default=20000)
