@@ -60,6 +60,11 @@ def build_parser():
     t.add_argument("--txt-loss-scale", type=float, default=1.0)
     t.add_argument("--seed", type=int, default=1234)
     t.add_argument("--model-parallel-size", type=int, default=1)
+    t.add_argument("--sequence-parallel-size", type=int, default=1,
+                   help="ring-attention context parallelism: shard the "
+                        "sequence over a 'seq' mesh axis (beyond the "
+                        "reference — scales context length with chips; "
+                        "ops/ring_attention.py)")
     t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
                    help="1 = pivot+window sparse attention for training")
     t.add_argument("--max-memory-length", type=int, default=0,
@@ -183,15 +188,29 @@ def main(argv=None) -> int:
 
     n_dev = len(jax.devices())
     mp = min(args.model_parallel_size, n_dev)
-    mesh = create_mesh(model_parallel=mp, data_parallel=n_dev // mp)
-    print(f"mesh: data={n_dev // mp} x model={mp}; config {args.preset} "
+    sp = max(1, args.sequence_parallel_size)
+    if n_dev % (mp * sp):
+        raise SystemExit(
+            f"{n_dev} devices not divisible by model_parallel {mp} x "
+            f"sequence_parallel {sp}")
+    dp = n_dev // (mp * sp)
+    mesh = create_mesh(model_parallel=mp, data_parallel=dp, seq_parallel=sp)
+    if sp > 1:
+        # (sequence divisibility is asserted at trace time on the actual
+        # attention length — rows are max_len and tokens max_len-1)
+        cfg = cfg.replace(sp_axis="seq", sp_num_shards=sp,
+                          sp_data_axis="data",
+                          sp_head_axis="model" if mp > 1 else None)
+    print(f"mesh: data={dp}{f' x seq={sp}' if sp > 1 else ''} x model={mp}; "
+          f"config {args.preset} "
           f"({cfg.num_layers}L/{cfg.hidden_size}H/{cfg.num_heads}h, vocab {cfg.vocab_size})")
-    if args.batch_size % (n_dev // mp):
+    if args.batch_size % dp:
         # fail with a readable message instead of device_put's sharding
         # error deep inside the first step
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the data "
-            f"axis ({n_dev // mp} = {n_dev} devices / model_parallel {mp})")
+            f"axis ({dp} = {n_dev} devices / model_parallel {mp} / "
+            f"sequence_parallel {sp})")
 
     data_cfg = DataConfig(
         train_data=args.train_data or (),

@@ -76,6 +76,18 @@ class GPTConfig:
     decode_shard_axis: "str | None" = None
     # and/or TP: heads sharded over this mesh axis (attention is head-local)
     decode_head_axis: "str | None" = None
+    # sequence/context parallelism for long-context TRAINING (beyond the
+    # reference, whose only long-context answer is the sparse pattern):
+    # shard the sequence dim over mesh axis ``sp_axis`` and run ring
+    # attention (ops/ring_attention.py) — K/V blocks rotate over ICI with
+    # ppermute while everything else stays sequence-local, so context
+    # length scales with chips.  Applies when the mask is exactly
+    # causal+sep and no KV cache / sparse spec / mems are in play.
+    # ``sp_num_shards`` is the static ring size (== mesh.shape[sp_axis]).
+    sp_axis: "str | None" = None
+    sp_num_shards: int = 1
+    sp_data_axis: "str | None" = None  # batch axis inside the shard_map
+    sp_head_axis: "str | None" = None  # head axis inside the shard_map
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

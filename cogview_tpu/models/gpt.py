@@ -417,6 +417,20 @@ def _layer_body(
             dropout_rate=cfg.attention_dropout, dropout_seed=lseed,
             train=train,
         ).reshape(B, S, H)
+    elif (cfg.sp_axis is not None and kv is None and mem is None
+          and sep_for_flash is not None and S > 1):
+        # sequence-parallel ring attention: S here is the GLOBAL length
+        # (GSPMD shards it over cfg.sp_axis; the shard_map inside splits
+        # explicitly).  Same hash-dropout keep pattern as the dense path.
+        assert S % cfg.sp_num_shards == 0, (
+            f"seq {S} must divide sp_num_shards={cfg.sp_num_shards}")
+        from ..ops.ring_attention import ring_attention_sharded
+        ctx = ring_attention_sharded(
+            q, k, v, seq_axis=cfg.sp_axis, n_shards=cfg.sp_num_shards,
+            data_axis=cfg.sp_data_axis, head_axis=cfg.sp_head_axis,
+            sep=sep_for_flash, dropout_rate=cfg.attention_dropout,
+            dropout_seed=lseed, train=train,
+        ).reshape(B, S, H)
     elif should_use_flash(cfg, S) and kv is None and sep_for_flash is not None:
         # attention-prob dropout runs inside the kernel (hash-PRNG seeded
         # from this layer's attention key — ops/flash_attention.py)
