@@ -60,6 +60,12 @@ def build_parser():
     t.add_argument("--txt-loss-scale", type=float, default=1.0)
     t.add_argument("--seed", type=int, default=1234)
     t.add_argument("--model-parallel-size", type=int, default=1)
+    t.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/FSDP: shard every weight (+ its grads and "
+                        "Adam state) over the 'data' axis too — params are "
+                        "all-gathered one layer at a time inside the layer "
+                        "scan. The reference's DeepSpeed config stopped at "
+                        "ZeRO-1 (optimizer state only).")
     t.add_argument("--sequence-parallel-size", type=int, default=1,
                    help="ring-attention context parallelism: shard the "
                         "sequence over a 'seq' mesh axis (beyond the "
@@ -236,7 +242,9 @@ def main(argv=None) -> int:
 
     with jax.set_mesh(mesh):
         params = gpt.init_params(jax.random.PRNGKey(args.seed), cfg)
-        params = shard_params(params, mesh, gpt_param_specs())
+        params = shard_params(
+            params, mesh,
+            gpt_param_specs(fsdp_axis="data" if args.fsdp else None))
         if args.fp16:
             state = init_fp16_train_state(
                 params, tx, init_scale=args.loss_scale_init,

@@ -150,9 +150,14 @@ def ring_attention_sharded(
     head-local, so those axes need no collectives; only K/V blocks move,
     over ``seq_axis``)."""
     spec = P(data_axis, seq_axis, head_axis, None)
+    mesh_shape = jax.sharding.get_abstract_mesh().shape
+    assert mesh_shape.get(seq_axis) == n_shards, (
+        f"n_shards={n_shards} != mesh axis {seq_axis!r} size "
+        f"{mesh_shape.get(seq_axis)} — the ring would run the wrong "
+        f"number of rotations")
     head_shards = 1
     if head_axis is not None:
-        head_shards = jax.sharding.get_abstract_mesh().shape[head_axis]
+        head_shards = mesh_shape[head_axis]
     fn = functools.partial(
         ring_attention, axis_name=seq_axis, n_shards=n_shards, sep=sep,
         dropout_rate=dropout_rate, train=train,

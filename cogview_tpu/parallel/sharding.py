@@ -26,23 +26,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def gpt_param_specs(cfg=None) -> Dict[str, Any]:
-    """PartitionSpec pytree matching models.gpt.init_params layout."""
+def gpt_param_specs(cfg=None, fsdp_axis: "str | None" = None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching models.gpt.init_params layout.
+
+    ``fsdp_axis`` (usually 'data') additionally shards every weight
+    matrix's non-TP dim over that axis — ZeRO-3/FSDP as pure metadata:
+    XLA all-gathers each layer's weights at use (inside the layer scan,
+    so only one layer is ever resident unsharded) and reduce-scatters its
+    gradients; optimizer state inherits the same sharding, so param +
+    grad + Adam HBM drops by the axis size.  The reference's DeepSpeed
+    ZeRO stage-1 config (scripts/ds_config_zero.json) covered optimizer
+    state only; this is the full stage-3 equivalent.  Composes with TP
+    ('model' on the other dim)."""
     M = MODEL_AXIS
+    F = fsdp_axis
     ln = {"g": P(None, None), "b": P(None, None)}
     return {
         "embed": {
-            "word": P(M, None),  # vocab-parallel (mpu/layers.py:77-133)
-            "pos": P(None, None),
+            "word": P(M, F),  # vocab-parallel (mpu/layers.py:77-133)
+            "pos": P(None, F),
         },
         "layers": {
             "ln_in": dict(ln),
-            "qkv": {"w": P(None, None, None, M), "b": P(None, None, M)},
-            "attn_out": {"w": P(None, M, None), "b": P(None, None)},
+            "qkv": {"w": P(None, F, None, M), "b": P(None, None, M)},
+            "attn_out": {"w": P(None, M, F), "b": P(None, None)},
             "ln_attn": dict(ln),
             "ln_post": dict(ln),
-            "mlp_in": {"w": P(None, None, M), "b": P(None, M)},
-            "mlp_out": {"w": P(None, M, None), "b": P(None, None)},
+            "mlp_in": {"w": P(None, F, M), "b": P(None, M)},
+            "mlp_out": {"w": P(None, M, F), "b": P(None, None)},
             "ln_mlp": dict(ln),
         },
         "ln_final": {"g": P(None), "b": P(None)},

@@ -118,3 +118,50 @@ def test_model_forward_and_grads_with_sp():
     errs = jax.tree.map(
         lambda a, b: float(np.abs(np.asarray(a) - b).max()), g_ref, g_sp)
     assert max(jax.tree.leaves(errs)) < 5e-4
+
+
+@pytest.mark.slow
+def test_fsdp_param_sharding_matches_replicated():
+    """gpt_param_specs(fsdp_axis='data') — ZeRO-3 as metadata: same
+    losses and post-step params as the TP-only sharding, and each weight
+    physically splits over data x model (1/8 per chip on 4x2)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cogview_tpu.parallel import create_mesh
+    from cogview_tpu.parallel.sharding import gpt_param_specs, shard_params
+    from cogview_tpu.training.optim import make_optimizer
+    from cogview_tpu.training.train_loop import (
+        init_train_state, make_train_step)
+
+    CFG = tiny_test(vocab_size=128, max_position_embeddings=64)
+    tx, _ = make_optimizer(gpt.init_params(jax.random.PRNGKey(0), CFG),
+                           lr=1e-3, warmup_iter=1, num_iters=10)
+    text = np.random.RandomState(0).randint(0, 128, (8, 65)).astype(np.int32)
+    mesh = create_mesh(model_parallel=2, data_parallel=4)
+
+    def run(specs):
+        with jax.set_mesh(mesh):
+            p = shard_params(
+                gpt.init_params(jax.random.PRNGKey(0), CFG), mesh, specs)
+            st = init_train_state(p, tx)
+            step = make_train_step(CFG, tx, img_vocab=64)
+            batch = {
+                "text": jax.device_put(
+                    text, NamedSharding(mesh, P("data", None))),
+                "loss_mask": jax.device_put(
+                    np.ones((8, 65), np.float32),
+                    NamedSharding(mesh, P("data", None))),
+            }
+            losses = []
+            for _ in range(3):
+                st, m = step(st, batch, jax.random.PRNGKey(5))
+                losses.append(float(m["lm_loss"]))
+            return losses, st["params"]
+
+    l_ref, _ = run(gpt_param_specs())
+    l_fsdp, p_fsdp = run(gpt_param_specs(fsdp_axis="data"))
+    assert np.allclose(l_ref, l_fsdp, atol=2e-5), (l_ref, l_fsdp)
+    w = p_fsdp["layers"]["mlp_in"]["w"]
+    (local,) = {tuple(s.data.shape) for s in w.addressable_shards}
+    assert local == (w.shape[0], w.shape[1] // 4, w.shape[2] // 2), (
+        local, w.shape)  # data x model split is physical, not replicated
