@@ -71,6 +71,14 @@ def build_parser():
                         "sequence over a 'seq' mesh axis (beyond the "
                         "reference — scales context length with chips; "
                         "ops/ring_attention.py)")
+    t.add_argument("--pipeline-parallel-size", type=int, default=1,
+                   help="GPipe pipeline parallelism: layers shard over a "
+                        "'pipe' mesh axis, microbatches stream through "
+                        "the stages (parallel/pipeline.py; beyond the "
+                        "reference). num_layers must divide it.")
+    t.add_argument("--pipeline-microbatches", type=int, default=0,
+                   help="microbatches per step (default: = stages); "
+                        "batch-size must divide it")
     t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
                    help="1 = pivot+window sparse attention for training")
     t.add_argument("--max-memory-length", type=int, default=0,
@@ -195,28 +203,43 @@ def main(argv=None) -> int:
     n_dev = len(jax.devices())
     mp = min(args.model_parallel_size, n_dev)
     sp = max(1, args.sequence_parallel_size)
-    if n_dev % (mp * sp):
+    pp = max(1, args.pipeline_parallel_size)
+    if sp > 1 and pp > 1:
+        raise SystemExit("--sequence-parallel-size and "
+                         "--pipeline-parallel-size are mutually exclusive")
+    if n_dev % (mp * sp * pp):
         raise SystemExit(
             f"{n_dev} devices not divisible by model_parallel {mp} x "
-            f"sequence_parallel {sp}")
-    dp = n_dev // (mp * sp)
-    mesh = create_mesh(model_parallel=mp, data_parallel=dp, seq_parallel=sp)
+            f"sequence_parallel {sp} x pipeline_parallel {pp}")
+    dp = n_dev // (mp * sp * pp)
+    mesh = create_mesh(model_parallel=mp, data_parallel=dp,
+                       seq_parallel=sp, pipe_parallel=pp)
     if sp > 1:
         # (sequence divisibility is asserted at trace time on the actual
         # attention length — rows are max_len and tokens max_len-1)
         cfg = cfg.replace(sp_axis="seq", sp_num_shards=sp,
                           sp_data_axis="data",
                           sp_head_axis="model" if mp > 1 else None)
-    print(f"mesh: data={dp}{f' x seq={sp}' if sp > 1 else ''} x model={mp}; "
-          f"config {args.preset} "
+    if pp > 1:
+        if cfg.num_layers % pp:
+            raise SystemExit(f"num_layers {cfg.num_layers} not divisible "
+                             f"by --pipeline-parallel-size {pp}")
+        mb = args.pipeline_microbatches or pp
+        if args.batch_size % mb:
+            raise SystemExit(f"--batch-size {args.batch_size} not "
+                             f"divisible by {mb} pipeline microbatches")
+        cfg = cfg.replace(pp_axis="pipe", pp_num_stages=pp,
+                          pp_microbatches=mb)
+    axes = f"data={dp}" + (f" x pipe={pp}" if pp > 1 else "") + (
+        f" x seq={sp}" if sp > 1 else "") + f" x model={mp}"
+    print(f"mesh: {axes}; config {args.preset} "
           f"({cfg.num_layers}L/{cfg.hidden_size}H/{cfg.num_heads}h, vocab {cfg.vocab_size})")
     if args.batch_size % dp:
         # fail with a readable message instead of device_put's sharding
         # error deep inside the first step
         raise SystemExit(
             f"--batch-size {args.batch_size} must be divisible by the data "
-            f"axis ({dp} = {n_dev} devices / model_parallel {mp} / "
-            f"sequence_parallel {sp})")
+            f"axis ({dp} = {n_dev} devices / mp {mp} / sp {sp} / pp {pp})")
 
     data_cfg = DataConfig(
         train_data=args.train_data or (),
@@ -244,7 +267,8 @@ def main(argv=None) -> int:
         params = gpt.init_params(jax.random.PRNGKey(args.seed), cfg)
         params = shard_params(
             params, mesh,
-            gpt_param_specs(fsdp_axis="data" if args.fsdp else None))
+            gpt_param_specs(fsdp_axis="data" if args.fsdp else None,
+                            pp_axis="pipe" if pp > 1 else None))
         if args.fp16:
             state = init_fp16_train_state(
                 params, tx, init_scale=args.loss_scale_init,

@@ -88,6 +88,15 @@ class GPTConfig:
     sp_num_shards: int = 1
     sp_data_axis: "str | None" = None  # batch axis inside the shard_map
     sp_head_axis: "str | None" = None  # head axis inside the shard_map
+    # pipeline parallelism (parallel/pipeline.py): layers shard over mesh
+    # axis ``pp_axis`` (the stacked [L,...] param layout is the stage
+    # decomposition) and a GPipe schedule runs ``pp_microbatches``
+    # microbatches through the stages.  num_layers % pp_num_stages == 0
+    # and batch % pp_microbatches == 0.  Composes with DP/TP/FSDP (the
+    # shard_map is manual over 'pipe' only); not with sp_axis or sparse.
+    pp_axis: "str | None" = None
+    pp_num_stages: int = 1
+    pp_microbatches: int = 0  # 0 -> pp_num_stages
 
     def __post_init__(self):
         assert self.hidden_size % self.num_heads == 0

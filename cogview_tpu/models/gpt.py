@@ -565,15 +565,44 @@ def forward(
 
     h = _embed(params, cfg, tokens, position_ids, r_embed, train)
 
-    def body(h, xs):
-        p, r = xs
-        r = r if (train and rng is not None) else None
-        h, _ = _layer_body(cfg, h, p, attention_mask, r, train, sparse=sparse,
-                           sep_for_flash=sep_for_flash)
-        return h, None
+    if cfg.pp_axis is not None:
+        # pipeline parallelism: layers shard over cfg.pp_axis, GPipe
+        # microbatch schedule (parallel/pipeline.py)
+        assert sparse is None and cfg.sp_axis is None, (
+            "pp_axis composes with DP/TP/FSDP, not sparse or sp_axis")
+        assert cfg.num_layers % cfg.pp_num_stages == 0, (
+            cfg.num_layers, cfg.pp_num_stages)
+        from ..parallel.pipeline import gpipe_scan
 
-    body = _maybe_checkpoint(body, remat)
-    h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
+        def layer_fn(a, p, r, mask):
+            rr = r if (train and rng is not None) else None
+            a, _ = _layer_body(cfg, a, p, mask, rr, train,
+                               sep_for_flash=sep_for_flash)
+            return a
+
+        # raw key data: the pipeline xors a microbatch index into each
+        # layer key (seed_from_key accepts raw data; typed key dtypes
+        # reject bitwise ops, and fold_in would put a bit-generator in
+        # the tick loop — a known minutes-long stall on this runtime)
+        raw_rngs = (jax.random.key_data(layer_rngs)
+                    if jax.dtypes.issubdtype(layer_rngs.dtype,
+                                             jax.dtypes.prng_key)
+                    else layer_rngs)
+        h = gpipe_scan(
+            layer_fn, params["layers"], raw_rngs, h, attention_mask,
+            pipe_axis=cfg.pp_axis, n_stages=cfg.pp_num_stages,
+            n_microbatches=cfg.pp_microbatches or cfg.pp_num_stages,
+            remat=bool(remat))
+    else:
+        def body(h, xs):
+            p, r = xs
+            r = r if (train and rng is not None) else None
+            h, _ = _layer_body(cfg, h, p, attention_mask, r, train,
+                               sparse=sparse, sep_for_flash=sep_for_flash)
+            return h, None
+
+        body = _maybe_checkpoint(body, remat)
+        h, _ = lax.scan(body, h, (params["layers"], layer_rngs))
 
     if logits_from is not None:
         h = h[:, logits_from:]

@@ -19,6 +19,7 @@ from jax.sharding import Mesh
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def create_mesh(
@@ -26,23 +27,27 @@ def create_mesh(
     data_parallel: Optional[int] = None,
     devices: Optional[Sequence[jax.Device]] = None,
     seq_parallel: int = 1,
+    pipe_parallel: int = 1,
 ) -> Mesh:
-    """('data', 'model') mesh; ``seq_parallel > 1`` inserts a 'seq' axis
-    between them — ('data', 'seq', 'model') — for ring-attention context
-    parallelism (ops/ring_attention.py).  'seq' sits inside 'data' so its
-    per-layer ppermute K/V rotations ride ICI, like 'model'."""
+    """('data', 'model') mesh, optionally extended with a 'pipe' and/or
+    'seq' axis — full order ('data', 'pipe', 'seq', 'model'), axes of
+    size 1 omitted.  'seq' (ring-attention context parallelism,
+    ops/ring_attention.py) sits next to 'model' so its per-layer ppermute
+    K/V rotations ride ICI; 'pipe' (GPipe stages, parallel/pipeline.py)
+    sits outermost of the two — it moves one activation per tick, the
+    cheapest traffic, so it can absorb the slowest links."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    par = model_parallel * seq_parallel * pipe_parallel
     if data_parallel is None:
-        assert n % (model_parallel * seq_parallel) == 0, (
-            n, model_parallel, seq_parallel)
-        data_parallel = n // (model_parallel * seq_parallel)
-    assert data_parallel * model_parallel * seq_parallel <= n
-    devices = devices[: data_parallel * model_parallel * seq_parallel]
+        assert n % par == 0, (n, model_parallel, seq_parallel, pipe_parallel)
+        data_parallel = n // par
+    assert data_parallel * par <= n
+    devices = devices[: data_parallel * par]
     # 'model' innermost: adjacent devices form a TP group (ICI-contiguous).
-    if seq_parallel > 1:
-        arr = np.asarray(devices).reshape(
-            data_parallel, seq_parallel, model_parallel)
-        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
-    arr = np.asarray(devices).reshape(data_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    dims = [(DATA_AXIS, data_parallel), (PIPE_AXIS, pipe_parallel),
+            (SEQ_AXIS, seq_parallel), (MODEL_AXIS, model_parallel)]
+    dims = [(a, s) for a, s in dims
+            if s > 1 or a in (DATA_AXIS, MODEL_AXIS)]
+    arr = np.asarray(devices).reshape([s for _, s in dims])
+    return Mesh(arr, tuple(a for a, _ in dims))

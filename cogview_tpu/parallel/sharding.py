@@ -26,7 +26,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def gpt_param_specs(cfg=None, fsdp_axis: "str | None" = None) -> Dict[str, Any]:
+def gpt_param_specs(cfg=None, fsdp_axis: "str | None" = None,
+                    pp_axis: "str | None" = None) -> Dict[str, Any]:
     """PartitionSpec pytree matching models.gpt.init_params layout.
 
     ``fsdp_axis`` (usually 'data') additionally shards every weight
@@ -37,10 +38,16 @@ def gpt_param_specs(cfg=None, fsdp_axis: "str | None" = None) -> Dict[str, Any]:
     grad + Adam HBM drops by the axis size.  The reference's DeepSpeed
     ZeRO stage-1 config (scripts/ds_config_zero.json) covered optimizer
     state only; this is the full stage-3 equivalent.  Composes with TP
-    ('model' on the other dim)."""
+    ('model' on the other dim).
+
+    ``pp_axis`` shards every per-layer leaf's leading L dim over that
+    axis — the stage decomposition for pipeline parallelism
+    (parallel/pipeline.py; set cfg.pp_axis to match)."""
     M = MODEL_AXIS
     F = fsdp_axis
     ln = {"g": P(None, None), "b": P(None, None)}
+    if pp_axis is not None:
+        ln = {"g": P(pp_axis, None), "b": P(pp_axis, None)}
     return {
         "embed": {
             "word": P(M, F),  # vocab-parallel (mpu/layers.py:77-133)
@@ -48,12 +55,12 @@ def gpt_param_specs(cfg=None, fsdp_axis: "str | None" = None) -> Dict[str, Any]:
         },
         "layers": {
             "ln_in": dict(ln),
-            "qkv": {"w": P(None, F, None, M), "b": P(None, None, M)},
-            "attn_out": {"w": P(None, M, F), "b": P(None, None)},
+            "qkv": {"w": P(pp_axis, F, None, M), "b": P(pp_axis, None, M)},
+            "attn_out": {"w": P(pp_axis, M, F), "b": P(pp_axis, None)},
             "ln_attn": dict(ln),
             "ln_post": dict(ln),
-            "mlp_in": {"w": P(None, F, M), "b": P(None, M)},
-            "mlp_out": {"w": P(None, M, F), "b": P(None, None)},
+            "mlp_in": {"w": P(pp_axis, F, M), "b": P(pp_axis, M)},
+            "mlp_out": {"w": P(pp_axis, M, F), "b": P(pp_axis, None)},
             "ln_mlp": dict(ln),
         },
         "ln_final": {"g": P(None), "b": P(None)},
