@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "int4 = packed nibbles, another 2x batch, ~16x the "
                         "int8 rounding error (opt-in). bfloat16 = exact "
                         "(pass this for maximum-fidelity generation)")
+    m.add_argument("--aot-dir", default=None,
+                   help="directory of serialized compiled executables "
+                        "(utils/aot.ProgramStore): first use per template "
+                        "shape compiles and stores; later PROCESS RESTARTS "
+                        "skip trace+lowering+compile and just load the "
+                        "program — the fix for minutes-long first-query "
+                        "latency. Entries are backend/machine specific.")
 
     s = p.add_argument_group("sampling")
     s.add_argument("--batch-size", type=int, default=4,
@@ -186,6 +193,10 @@ def main(argv=None) -> int:
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         seed=args.seed,
     )
+    aot_store = None
+    if args.aot_dir:
+        from ..utils.aot import ProgramStore
+        aot_store = ProgramStore(args.aot_dir)
 
     for qi, (raw, out_dir) in enumerate(iter_queries(args)):
         os.makedirs(out_dir, exist_ok=True)
@@ -210,6 +221,7 @@ def main(argv=None) -> int:
                 num=args.batch_size,
                 max_inference_batch_size=args.max_inference_batch_size,
                 sampling=sampling,
+                aot_store=aot_store,
             )
             if task == "image2text" or (task == "raw" and not res.images):
                 for parts in res.texts:

@@ -51,6 +51,10 @@ def build_parser():
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--max-polls", type=int, default=0,
                    help="stop after N polls (0 = forever); for testing")
+    p.add_argument("--aot-dir", default=None,
+                   help="serialized-executable store (see generate --aot-dir): "
+                        "warmup populates it, so a RESTARTED server loads the "
+                        "generation program instead of re-tracing/compiling")
     p.add_argument("--no-warmup", dest="warmup", action="store_false",
                    default=True,
                    help="skip the pre-serving warmup generation (default: "
@@ -61,7 +65,8 @@ def build_parser():
     return p
 
 
-def process_file(path: str, args, params, cfg, tokenizer, sampling) -> int:
+def process_file(path: str, args, params, cfg, tokenizer, sampling,
+                 aot_store=None) -> int:
     n = 0
     stem = os.path.splitext(os.path.basename(path))[0]
     with open(path, encoding="utf-8") as f:
@@ -74,6 +79,7 @@ def process_file(path: str, args, params, cfg, tokenizer, sampling) -> int:
                 num=args.batch_size,
                 max_inference_batch_size=args.max_inference_batch_size,
                 sampling=sampling,
+                aot_store=aot_store,
             )
             out_dir = os.path.join(args.img_folder_path, f"{stem}-{qi}")
             os.makedirs(out_dir, exist_ok=True)
@@ -134,6 +140,10 @@ def main(argv=None) -> int:
 
     os.makedirs(args.input_folder_path, exist_ok=True)
     os.makedirs(args.img_folder_path, exist_ok=True)
+    aot_store = None
+    if args.aot_dir:
+        from ..utils.aot import ProgramStore
+        aot_store = ProgramStore(args.aot_dir)
 
     if args.warmup and args.generation_task == "text2image":
         # pre-load the generation program so the first real query does not
@@ -148,6 +158,7 @@ def main(argv=None) -> int:
                 num=min(args.batch_size, args.max_inference_batch_size),
                 max_inference_batch_size=args.max_inference_batch_size,
                 sampling=sampling,
+                aot_store=aot_store,
             )
             print(f"warmup: generation program ready in {time.time()-t0:.1f}s",
                   flush=True)
@@ -158,7 +169,8 @@ def main(argv=None) -> int:
           f"{args.time_interval}s -> {args.img_folder_path}", flush=True)
     return watch_folder(
         args.input_folder_path,
-        lambda src: process_file(src, args, params, cfg, tokenizer, sampling),
+        lambda src: process_file(src, args, params, cfg, tokenizer, sampling,
+                                 aot_store=aot_store),
         time_interval=args.time_interval,
         max_polls=args.max_polls,
     )

@@ -497,7 +497,7 @@ def filling_sequence_cold_start(
     compiled = lowered.compile()
     backend_s = time.time() - t0
     # Compiled.__call__ takes only the non-static args, in order
-    dyn = [a for i, a in enumerate(args) if i not in (1, 10, 11, 12, 13, 14, 15)]
+    dyn = [a for i, a in enumerate(args) if i not in _FILL_STATIC_POSITIONS]
     t0 = time.time()
     out = compiled(*dyn)
     jax.block_until_ready(out)
@@ -508,3 +508,38 @@ def filling_sequence_cold_start(
         "backend_compile_s": round(backend_s, 2),
         "first_exec_s": round(first_s, 2),
     }
+
+
+# positions of _filling_sequence_jit's static args within _fill_call_args
+# (cfg, batch_size, context_length, temperature, top_k, top_p, fork_at)
+_FILL_STATIC_POSITIONS = (1, 10, 11, 12, 13, 14, 15)
+
+
+def filling_sequence_aot(
+    params,
+    cfg: GPTConfig,
+    template: Template,
+    store,
+    batch_size: int = 1,
+    sampling: SamplingParams = SamplingParams(),
+    rng: Optional[jax.Array] = None,
+):
+    """``filling_sequence`` through a ``utils.aot.ProgramStore``.
+
+    On a store hit the filling program is *deserialized*, skipping Python
+    trace + StableHLO lowering + XLA compile entirely — a restarted server
+    answers its first query after one executable load (the reference pays
+    setup + first forward every launch, generate_samples.py:75-106).  On a
+    miss it compiles once and writes the entry.  -> ((tokens, scores), info)
+    where info['source'] is 'aot' or 'compiled'.
+    """
+    rng = rbg_key(sampling.seed if rng is None else rng)
+    if template.fork_n > 1:
+        if batch_size not in (1, template.fork_n):
+            raise ValueError(  # same contract as filling_sequence
+                f"template forks to {template.fork_n} but batch_size={batch_size}")
+        batch_size = template.fork_n
+    args = _fill_call_args(params, cfg, template, batch_size, sampling, rng)
+    return store.get_or_compile(
+        _filling_sequence_jit, args, _FILL_STATIC_POSITIONS
+    )

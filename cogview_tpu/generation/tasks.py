@@ -22,7 +22,12 @@ import numpy as np
 
 from ..config import GPTConfig
 from .magnify import magnify
-from .sampling import SamplingParams, compile_template, filling_sequence
+from .sampling import (
+    SamplingParams,
+    compile_template,
+    filling_sequence,
+    filling_sequence_aot,
+)
 from .scoring import inverse_prompt_score
 
 QUERY_TEMPLATES = {
@@ -79,11 +84,15 @@ def generate_once(
     sampling: SamplingParams = SamplingParams(),
     rng: Optional[jax.Array] = None,
     pad_bucket: int = 32,
+    aot_store=None,
 ) -> GenerationOutput:
     """text2image / image2text / low-level-sr (generate_images_once).
 
     Template lengths are bucketed to multiples of ``pad_bucket`` with
     trailing fixed [PAD] steps so differing text lengths reuse compiles.
+    ``aot_store`` (a ``utils.aot.ProgramStore``) routes the filling program
+    through the on-disk executable store: a restarted process skips trace +
+    lowering + compile for templates it has served before.
     """
     seq = parse_query_line(raw_text, task, tokenizer)
     tpl = compile_template(
@@ -99,7 +108,12 @@ def generate_once(
     while remaining > 0:
         b = min(remaining, mbz)
         rng, sub = jax.random.split(rng)
-        t, s = filling_sequence(params, cfg, tpl, b, sampling, rng=sub)
+        if aot_store is not None:
+            (t, s), _ = filling_sequence_aot(
+                params, cfg, tpl, aot_store, b, sampling, rng=sub
+            )
+        else:
+            t, s = filling_sequence(params, cfg, tpl, b, sampling, rng=sub)
         outs.append(np.asarray(t))
         scores.append(np.asarray(s))
         remaining -= b
