@@ -416,6 +416,17 @@ def filling_sequence(
     (sampling.py:172-178).
     """
     rng = rbg_key(sampling.seed if rng is None else rng)
+    batch_size = _validate_fill(cfg, template, batch_size)
+    return _filling_sequence_jit(
+        *_fill_call_args(params, cfg, template, batch_size, sampling, rng)
+    )
+
+
+def _validate_fill(cfg, template, batch_size: int) -> int:
+    """The up-front guards every filling entry point must share (normal,
+    cold-start, AOT) -> resolved batch_size.  The reference rejects these
+    before touching the model (generate_samples.py:98-101); skipping them
+    on any path silently yields NaN/garbage samples instead of an error."""
     if template.fork_n > 1:
         if batch_size not in (1, template.fork_n):
             raise ValueError(
@@ -428,16 +439,12 @@ def filling_sequence(
         )
     max_pos = int(template.position_ids.max())
     if max_pos >= cfg.max_position_embeddings:
-        # the reference rejects over-long contexts up front
-        # (generate_samples.py:98-101); past the table jnp.take would
-        # silently fill NaN.
+        # past the table jnp.take would silently fill NaN
         raise ValueError(
             f"template needs position {max_pos} but the model has only "
             f"{cfg.max_position_embeddings} position embeddings"
         )
-    return _filling_sequence_jit(
-        *_fill_call_args(params, cfg, template, batch_size, sampling, rng)
-    )
+    return batch_size
 
 
 def _fill_call_args(params, cfg, template, batch_size, sampling, rng):
@@ -484,11 +491,7 @@ def filling_sequence_cold_start(
     import time
 
     rng = rbg_key(sampling.seed if rng is None else rng)
-    if template.fork_n > 1:
-        if batch_size not in (1, template.fork_n):
-            raise ValueError(  # same contract as filling_sequence
-                f"template forks to {template.fork_n} but batch_size={batch_size}")
-        batch_size = template.fork_n
+    batch_size = _validate_fill(cfg, template, batch_size)
     args = _fill_call_args(params, cfg, template, batch_size, sampling, rng)
     t0 = time.time()
     lowered = _filling_sequence_jit.lower(*args)
@@ -534,11 +537,7 @@ def filling_sequence_aot(
     where info['source'] is 'aot' or 'compiled'.
     """
     rng = rbg_key(sampling.seed if rng is None else rng)
-    if template.fork_n > 1:
-        if batch_size not in (1, template.fork_n):
-            raise ValueError(  # same contract as filling_sequence
-                f"template forks to {template.fork_n} but batch_size={batch_size}")
-        batch_size = template.fork_n
+    batch_size = _validate_fill(cfg, template, batch_size)
     args = _fill_call_args(params, cfg, template, batch_size, sampling, rng)
     return store.get_or_compile(
         _filling_sequence_jit, args, _FILL_STATIC_POSITIONS

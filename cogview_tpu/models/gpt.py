@@ -534,8 +534,14 @@ def forward(
     remat: bool = False,
     sparse: Optional[SparseSpec] = None,
     logits_from: Optional[int] = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
     """Full forward -> fp32 logits [B, S, V].
+
+    ``return_hidden=True`` returns the post-final-LN hidden states
+    [B, S, H] instead of logits, for callers that fuse the vocab
+    projection into a chunked loss (training.losses.cross_entropy_hidden)
+    and must never materialize the full [B, S, V] tensor.
 
     ``logits_from=t`` returns logits only for positions >= t ([B, S-t, V]):
     the [S, V] projection is the single biggest tensor a long-context
@@ -607,6 +613,8 @@ def forward(
     if logits_from is not None:
         h = h[:, logits_from:]
     h = layer_norm(h, params["ln_final"]["g"], params["ln_final"]["b"], cfg.layernorm_epsilon, cfg.pb_relax)
+    if return_hidden:
+        return h
     return _logits(params, cfg, h)
 
 
@@ -640,6 +648,7 @@ def forward_with_mems(
     train: bool = False,
     rng: Optional[jax.Array] = None,
     remat: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Training-time transformer-XL mems (``max_memory_length > 0``,
     sparse_transformer.py:471-626): every memory position is visible to
@@ -689,6 +698,8 @@ def forward_with_mems(
 
     out = layer_norm(h_final, params["ln_final"]["g"], params["ln_final"]["b"],
                      cfg.layernorm_epsilon, cfg.pb_relax)
+    if return_hidden:
+        return out, new_mems
     return _logits(params, cfg, out), new_mems
 
 

@@ -30,6 +30,59 @@ def cross_entropy_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return lse - picked
 
 
+def _pick_ce_chunk(S: int, target: int) -> int:
+    """Largest divisor of S that is <= target (static shapes under scan)."""
+    for c in range(min(S, target), 0, -1):
+        if S % c == 0:
+            return c
+    return S
+
+
+def cross_entropy_hidden(
+    params, h: jax.Array, labels: jax.Array, *, chunk_target: int = 160,
+) -> jax.Array:
+    """fp32 softmax-CE [B, S] from post-final-LN hidden states [B, S, H]
+    without ever materializing the full [B, S, V] logits.
+
+    The reference's vocab-parallel CE (mpu/cross_entropy.py:25-104) exists
+    for exactly this reason — its custom backward is softmax-minus-onehot so
+    the [S, V] probability tensor never persists.  Here the vocab projection
+    (tied word embedding, gpt2_modeling.py:115-118) is fused INTO the loss:
+    a lax.scan over sequence chunks computes each chunk's logits, lse and
+    gathered target logit, and ``jax.checkpoint`` on the chunk body makes
+    the backward recompute the chunk logits instead of saving them.  Peak
+    live logits = [B, chunk, V] (~0.5 GB at the tutorial bench config)
+    instead of [B, S, V] fp32 twice per step (~8 GB).
+
+    Math (and dtype path: compute-dtype matmul with fp32 accumulation, fp32
+    reductions) is identical to ``cross_entropy_logits(_logits(h), labels)``
+    — asserted by tests/test_losses_chunked_ce.py.
+    """
+    from ..models.gpt import _wmul
+
+    word = params["embed"]["word"]
+    leaf = word if isinstance(word, dict) else {"w": word}
+    B, S, H = h.shape
+    C = _pick_ce_chunk(S, chunk_target)
+    if C == S:
+        logits = _wmul(h, leaf, "bsh,vh->bsv", h.dtype)
+        return cross_entropy_logits(logits, labels)
+    nc = S // C
+    hc = jnp.moveaxis(h.reshape(B, nc, C, H), 1, 0)  # [nc, B, C, H]
+    lc = jnp.moveaxis(labels.reshape(B, nc, C), 1, 0)  # [nc, B, C]
+
+    def chunk_fn(_, xs):
+        h_c, lab_c = xs
+        logits = _wmul(h_c, leaf, "bch,vh->bcv", h_c.dtype)  # f32 out
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, lab_c[..., None], axis=-1)[..., 0]
+        return None, lse - picked
+
+    _, ce = jax.lax.scan(
+        jax.checkpoint(chunk_fn, prevent_cse=False), None, (hc, lc))
+    return jnp.moveaxis(ce, 0, 1).reshape(B, S)
+
+
 def dual_position_ids(tokens: jax.Array, roi2_id: int, max_pos: int) -> jax.Array:
     """In-jit dual-segment position ids (SR finetuning): restart at the
     first [ROI2] per row (pretrain_gpt2.py:228-247); rows without [ROI2]
@@ -94,19 +147,18 @@ def lm_loss(
             pivot_idx, pivot_mask, cfg.query_window, cfg.key_window_times
         )
 
-    logits = gpt.forward(
+    h = gpt.forward(
         params, cfg, tokens, position_ids=position_ids, train=train, rng=rng,
-        remat=remat, sparse=sparse,
+        remat=remat, sparse=sparse, return_hidden=True,
     )
-    loss, metrics = _split_losses(logits, labels, lmask, img_ind, txt_ind,
-                                  txt_loss_scale)
+    ce = cross_entropy_hidden(params, h, labels)
+    loss, metrics = _split_ce(ce, lmask, img_ind, txt_ind, txt_loss_scale)
     return loss, metrics
 
 
-def _split_losses(logits, labels, lmask, img_ind, txt_ind, txt_loss_scale):
+def _split_ce(ce, lmask, img_ind, txt_ind, txt_loss_scale):
     """Masked mean CE + the reference's separate img/txt loss report
     (pretrain_gpt2.py:313-341)."""
-    ce = cross_entropy_logits(logits, labels)
     losses = ce * lmask
     denom = jnp.maximum(jnp.sum(lmask), 1.0)
     loss = jnp.sum(losses) / denom
@@ -150,10 +202,11 @@ def lm_loss_with_mems(
         position_ids = dual_position_ids(
             tokens, dual_positions_roi2, cfg.max_position_embeddings
         )
-    logits, new_mems = gpt.forward_with_mems(
+    h, new_mems = gpt.forward_with_mems(
         params, cfg, tokens, mems, max_memory_length=max_memory_length,
         position_ids=position_ids, train=train, rng=rng, remat=remat,
+        return_hidden=True,
     )
-    loss, metrics = _split_losses(logits, labels, lmask, img_ind, txt_ind,
-                                  txt_loss_scale)
+    ce = cross_entropy_hidden(params, h, labels)
+    loss, metrics = _split_ce(ce, lmask, img_ind, txt_ind, txt_loss_scale)
     return loss, (metrics, new_mems)

@@ -26,14 +26,17 @@ deserialize is treated as a miss and overwritten.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import pickle
 import platform as _platform
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
+import jaxlib
 
 _FORMAT_VERSION = 1
+_logger = logging.getLogger(__name__)
 
 
 def _backend_identity() -> str:
@@ -55,12 +58,20 @@ def _abstract_desc(tree: Any) -> str:
     return f"{treedef}|{';'.join(parts)}"
 
 
-def program_key(dyn_args: Any, statics: Sequence[Any]) -> str:
-    """Stable content key for one (program, argument-shapes) pairing."""
+def program_key(dyn_args: Any, statics: Sequence[Any], fn_id: str = "") -> str:
+    """Stable content key for one (program, argument-shapes) pairing.
+
+    ``fn_id`` is the target function's identity (qualified name): two
+    different jitted programs sharing one store directory with
+    coincidentally matching signatures must not collide.  jaxlib's version
+    is mixed in too — a jaxlib-only upgrade changes the executable format
+    without changing jax.__version__."""
     desc = "|".join(
         [
             f"v{_FORMAT_VERSION}",
             jax.__version__,
+            jaxlib.__version__,
+            fn_id,
             _backend_identity(),
             _abstract_desc(dyn_args),
             repr(tuple(statics)),
@@ -75,6 +86,12 @@ class ProgramStore:
     def __init__(self, directory: str):
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
+        # key -> loaded/compiled callable.  Without this, every call paid
+        # a pickle read + deserialize_and_load (the dominant cold-start
+        # phase on the tunneled TPU runtime), making a warmed server
+        # SLOWER per query than the plain jit cache.  With it, repeat
+        # calls in one process never touch disk.
+        self._memo: dict = {}
 
     def _path(self, key: str) -> str:
         return os.path.join(self.directory, f"{key}.aot")
@@ -101,8 +118,16 @@ class ProgramStore:
             return se.deserialize_and_load(
                 payload, in_tree, out_tree, execution_devices=devices
             )
-        except Exception:
-            # stale jaxlib, truncated write, foreign machine: recompile
+        except (OSError, pickle.UnpicklingError, ValueError, TypeError,
+                EOFError, ImportError, AttributeError) as exc:
+            # stale jaxlib, truncated write, foreign machine: recompile.
+            # Log the eviction — a persistently-missing store (e.g. an
+            # internals change making every load fail) must be diagnosable,
+            # not look like it works while recompiling every restart.
+            _logger.warning(
+                "aot store: evicting %s (%s: %s); recompiling",
+                path, type(exc).__name__, exc,
+            )
             try:
                 os.remove(path)
             except OSError:
@@ -142,11 +167,18 @@ class ProgramStore:
         static_positions = set(static_positions)
         dyn = [a for i, a in enumerate(args) if i not in static_positions]
         statics = [repr(a) for i, a in enumerate(args) if i in static_positions]
-        key = program_key(tuple(dyn), statics)
+        fn_id = getattr(jit_fn, "__qualname__", None) or getattr(
+            jit_fn, "__name__", repr(jit_fn))
+        key = program_key(tuple(dyn), statics, fn_id=fn_id)
+
+        cached = self._memo.get(key)
+        if cached is not None:
+            return cached(*dyn), {"source": "memory", "key": key}
 
         t0 = time.time()
         loaded = self.load(key)
         if loaded is not None:
+            self._memo[key] = loaded
             out = loaded(*dyn)
             return out, {
                 "source": "aot",
@@ -157,6 +189,7 @@ class ProgramStore:
         lowered = jit_fn.lower(*args)
         compiled = lowered.compile()
         self.save(key, compiled)
+        self._memo[key] = compiled
         out = compiled(*dyn)
         return out, {
             "source": "compiled",

@@ -87,6 +87,36 @@ def test_aot_key_separates_statics_and_shapes(tok, params, tpl):
     k_b = program_key(dyn, ["b=4"])
     k_c = program_key((jnp.zeros((8, 8), jnp.float32),), ["b=2"])
     assert len({k_a, k_b, k_c}) == 3
+    # two DIFFERENT programs with identical signatures must not collide
+    k_f = program_key(dyn, ["b=2"], fn_id="other_program")
+    assert k_f != k_a
+
+
+def test_aot_memo_serves_repeat_calls(tmp_path, tok, params, tpl):
+    # repeat calls through one store never re-read the pickle: the second
+    # call reports source='memory' and works even if the file vanishes
+    sp = SamplingParams(seed=7)
+    store = ProgramStore(str(tmp_path))
+    (t1, _), info1 = filling_sequence_aot(params, CFG, tpl, store, 1, sp)
+    os.remove(store._path(info1["key"]))
+    (t2, _), info2 = filling_sequence_aot(params, CFG, tpl, store, 1, sp)
+    assert info2["source"] == "memory"
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_aot_path_enforces_position_guard(tok, params, tpl):
+    # the AOT path shares filling_sequence's up-front guards: an over-long
+    # template raises instead of silently sampling NaN garbage
+    import dataclasses
+
+    import pytest
+
+    sp = SamplingParams(seed=7)
+    store = ProgramStore("/tmp/_unused_aot_store")
+    bad = dataclasses.replace(
+        tpl, position_ids=tpl.position_ids + 10_000)
+    with pytest.raises(ValueError, match="position"):
+        filling_sequence_aot(params, CFG, bad, store, 1, sp)
 
 
 def test_aot_corrupt_entry_recompiles(tmp_path, tok, params, tpl):
@@ -98,7 +128,13 @@ def test_aot_corrupt_entry_recompiles(tmp_path, tok, params, tpl):
         fh.write(b"not a pickle")
     assert store.load(info["key"]) is None  # corrupt -> miss
     assert not os.path.exists(path)  # and the bad entry is evicted
-    (_, _), info2 = filling_sequence_aot(params, CFG, tpl, store, 1, sp)
+    # same-process repeat through the SAME store hits the in-memory memo
+    # (never touches disk — that's the point of the memo)
+    (_, _), info_memo = filling_sequence_aot(params, CFG, tpl, store, 1, sp)
+    assert info_memo["source"] == "memory"
+    # a restarted process (fresh store) sees the eviction and recompiles
+    store2 = ProgramStore(str(tmp_path))
+    (_, _), info2 = filling_sequence_aot(params, CFG, tpl, store2, 1, sp)
     assert info2["source"] == "compiled"  # rebuilt after eviction
 
 
