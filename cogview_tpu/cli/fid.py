@@ -4,6 +4,12 @@ inception_score.py surfaces).
   python -m cogview_tpu.cli.fid --path1 real_imgs/ --path2 gen_imgs/ \
       [--inception-weights inception_v3.pth] [--extractor inception|vq]
 
+``--path1``/``--path2`` accept either an image directory or a base64-image
+``.tsv`` corpus (the reference's ``TsvDataset``, eval_utils/dataset.py:9-33:
+``id \\t _ \\t caption \\t image_base64`` rows).  TSV sources are STREAMED
+through :class:`..eval_utils.fid.StreamingStats` — (mu, sigma) accumulate
+batch by batch, so corpus size is unbounded by host memory.
+
 The extractor is the JAX InceptionV3 port (pool3 2048-d, exactly the
 reference's block-3 features).  Pass --inception-weights with a
 torchvision ``inception_v3`` state-dict file for published-comparable
@@ -40,6 +46,38 @@ def load_image_dir(path: str, img_size: int = 256, limit: int = 0) -> np.ndarray
     return np.stack(out)
 
 
+def is_tsv(path: str) -> bool:
+    return os.path.isfile(path) and path.lower().endswith((".tsv", ".txt"))
+
+
+def source_statistics(path, extractor, batch_size, img_size=256, limit=0):
+    """(mu, sigma, n) of a source: image dir (in-memory) or base64 TSV
+    (streamed — never holds more than one batch of pixels)."""
+    from ..eval_utils.fid import StreamingStats
+    from ..eval_utils.dataset import iter_tsv_image_batches
+
+    stats = StreamingStats()
+    if is_tsv(path):
+        batches = iter_tsv_image_batches(path, batch_size, img_size, limit)
+    else:
+        imgs = load_image_dir(path, img_size, limit)
+        batches = (imgs[i:i + batch_size] for i in range(0, len(imgs), batch_size))
+    for batch in batches:
+        stats.update(np.asarray(extractor(batch)))
+    mu, sigma = stats.finalize()
+    return mu, sigma, stats.n
+
+
+def load_source_images(path, img_size=256, limit=0) -> np.ndarray:
+    """Materialize a source (dir or TSV) as [n,s,s,3] float32 in [0,1]."""
+    if not is_tsv(path):
+        return load_image_dir(path, img_size, limit)
+    from ..eval_utils.dataset import TsvImageStream
+
+    return np.stack([img for img, _i, _c in
+                     TsvImageStream(path, img_size=img_size, limit=limit)])
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("cogview-tpu fid")
     p.add_argument("--path1", required=True)
@@ -58,8 +96,7 @@ def main(argv=None) -> int:
 
     import jax
 
-    from ..eval_utils.fid import (InceptionFeatures, VQEncoderFeatures,
-                                  fid_from_images)
+    from ..eval_utils.fid import InceptionFeatures, VQEncoderFeatures
 
     if args.extractor == "inception":
         extractor = InceptionFeatures(weights_path=args.inception_weights)
@@ -80,10 +117,14 @@ def main(argv=None) -> int:
         extractor = VQEncoderFeatures(params)
         label = "FID(vq-proxy)"
 
-    imgs1 = load_image_dir(args.path1, limit=args.limit)
-    imgs2 = load_image_dir(args.path2, limit=args.limit)
-    fid = fid_from_images(imgs1, imgs2, extractor, args.batch_size)
-    print(f"{label}: {fid:.4f}  (n1={len(imgs1)}, n2={len(imgs2)})")
+    from ..eval_utils.fid import frechet_distance
+
+    mu1, s1, n1 = source_statistics(args.path1, extractor, args.batch_size,
+                                    limit=args.limit)
+    mu2, s2, n2 = source_statistics(args.path2, extractor, args.batch_size,
+                                    limit=args.limit)
+    fid = frechet_distance(mu1, s1, mu2, s2)
+    print(f"{label}: {fid:.4f}  (n1={n1}, n2={n2})")
 
     if args.inception_score:
         import jax.numpy as jnp
@@ -104,6 +145,7 @@ def main(argv=None) -> int:
             # IS feeds (-1,1) images (inception_score.py:12)
             return np.asarray(clf(jnp.asarray(batch * 2.0 - 1.0, jnp.float32)))
 
+        imgs2 = load_source_images(args.path2, limit=args.limit)
         mean, std = inception_score(imgs2, classifier, args.batch_size,
                                     args.is_splits)
         print(f"IS: {mean:.4f} +/- {std:.4f}  (n={len(imgs2)})")

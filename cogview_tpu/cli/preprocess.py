@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("--sampling-num", type=int, default=4,
                    help="SR patches sampled per image")
     p.add_argument("--seq-len", type=int, default=1089, help="text task row length")
+    p.add_argument("--recover-grid", default=None, metavar="PNG",
+                   help="debug: before writing the corpus, VQ-roundtrip the "
+                        "first --batch-size images and save an "
+                        "original-vs-recovered grid (reference "
+                        "show_recover_results, preprocess/utils.py:23-31)")
     return p
 
 
@@ -103,6 +108,21 @@ def main(argv=None) -> int:
     text_source = TsvTextSource(args.text_source)
     img_size = args.img_size or (512 if args.task == "super-resolution" else 256)
     source = open_image_source(args.image_source, img_size=img_size)
+
+    if args.recover_grid:
+        import itertools
+
+        import numpy as np
+
+        from ..preprocess.recover_grid import write_recover_grid
+
+        batch = [im for _id, im in itertools.islice(iter(source), args.batch_size)]
+        if not batch:
+            print("[warn] --recover-grid: image source is empty", file=sys.stderr)
+        else:
+            write_recover_grid(vq, np.stack(batch), args.recover_grid)
+            print(f"recover grid ({len(batch)} images) -> {args.recover_grid}")
+        source = open_image_source(args.image_source, img_size=img_size)
 
     if args.task == "text2image":
         writer = CompactBinaryWriter(args.output)

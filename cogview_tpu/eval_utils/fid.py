@@ -31,6 +31,46 @@ def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
+class StreamingStats:
+    """Accumulate (mu, sigma) from feature batches without holding the
+    corpus: n, sum, and sum-of-outer-products suffice.  Finalizes to the
+    same unbiased covariance as ``np.cov`` (ddof=1), so streaming a TSV
+    corpus (eval_utils/dataset.py in the reference) gives the identical
+    FID as the in-memory path — asserted in tests/test_eval_and_vqtrain.py.
+    """
+
+    def __init__(self):
+        self.n = 0
+        self._sum = None
+        self._outer = None
+
+    def update(self, features: np.ndarray) -> None:
+        f = np.asarray(features, np.float64)
+        if f.ndim != 2:
+            raise ValueError(f"features must be [n, d], got {f.shape}")
+        if self._sum is None:
+            self._sum = np.zeros(f.shape[1])
+            self._outer = np.zeros((f.shape[1], f.shape[1]))
+        self.n += f.shape[0]
+        self._sum += f.sum(axis=0)
+        self._outer += f.T @ f
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self.n < 2:
+            raise ValueError(f"need >=2 samples for covariance, got {self.n}")
+        mu = self._sum / self.n
+        sigma = (self._outer - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, sigma
+
+
+def statistics_from_batches(image_batches, extractor) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) over a stream of image batches [b,h,w,3] in [0,1]."""
+    stats = StreamingStats()
+    for batch in image_batches:
+        stats.update(np.asarray(extractor(batch)))
+    return stats.finalize()
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     """||mu1-mu2||^2 + Tr(s1 + s2 - 2 sqrt(s1 s2)) (fid_score.py math)."""
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
