@@ -282,6 +282,12 @@ def bench_train(cfg, reps, batch):
     seq = int(os.environ.get("COGVIEW_BENCH_SEQ", "1089"))
     if seq != 1089:
         cfg = cfg.replace(max_position_embeddings=seq)
+    # COGVIEW_BENCH_CE_CHUNK=N overrides the chunked-CE sequence chunk
+    # (config.GPTConfig.ce_chunk_target); N >= seq selects the naive
+    # full-logits CE for comparison
+    cenv = os.environ.get("COGVIEW_BENCH_CE_CHUNK")
+    if cenv:
+        cfg = cfg.replace(ce_chunk_target=int(cenv))
     # COGVIEW_BENCH_FLASH=1|0 forces the Pallas flash kernel on/off
     # (default: cfg "auto" routes by seq >= flash_min_seq)
     fenv = os.environ.get("COGVIEW_BENCH_FLASH")
@@ -331,6 +337,7 @@ def bench_train(cfg, reps, batch):
         "value": round(tps, 1), "unit": "tokens/sec/chip",
         "vs_baseline": round(tps / 79000.0, 2),
         "extra": {"batch": batch, "seq": seq, "reps": reps, "remat": renv,
+                  "ce_chunk": cfg.ce_chunk_target,
                   "attention": ("sparse" if sparse else
                                 "flash" if cfg.use_flash_attention is True or
                                 (cfg.use_flash_attention == "auto" and

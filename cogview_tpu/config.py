@@ -62,6 +62,16 @@ class GPTConfig:
     flash_block_k: "int | None" = None
     # compute precision: params live in fp32; matmuls run in compute_dtype
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # training CE: the vocab projection is fused into a remat'd scan over
+    # sequence chunks of (the largest divisor of S <=) this many tokens, so
+    # the [B,S,V] fp32 logits never materialize (training/losses.py
+    # cross_entropy_hidden).  >= S forces one full-logits step; 0 = auto:
+    # full logits while they fit in ~4.5 GiB, chunked above.  Measured on v5e
+    # (tutorial 12L/1024H, b16, S=1089, 2026-08-18): full-logits 45.9k
+    # tok/s vs chunked 43.5-44.3k (chunk 136-544) — XLA already streams
+    # the CE reductions through the vocab matmul, so chunking only adds
+    # recompute; its value is the ~8 GB peak-memory cut at bigger configs.
+    ce_chunk_target: int = 0
     # autoregressive KV cache storage: "bfloat16" (exact, XLA attention),
     # "int8" (per-(head,token)-scaled, fused Pallas decode kernel — half the
     # cache HBM traffic and footprint, so ~2x the decode batch per chip), or

@@ -35,6 +35,27 @@ def test_pick_chunk():
     assert _pick_ce_chunk(96, 32) == 32
 
 
+def test_auto_chunk_resolution():
+    """chunk_target=0: full logits while [B,S,V] fp32 <= ~4.5 GiB (the
+    measured-faster path), chunked scan above (the memory-capped path)."""
+    B, S, H = 2, 320, 8  # S > the 160-token chunk so chunking can engage
+    key = jax.random.PRNGKey(3)
+    h = jax.random.normal(key, (B, S, H), jnp.float32)
+    labels = jnp.zeros((B, S), jnp.int32)
+
+    def n_scans(V):
+        word = jax.ShapeDtypeStruct((V, H), jnp.float32)
+        jaxpr = jax.make_jaxpr(
+            lambda p, h: cross_entropy_hidden(p, h, labels)
+        )({"embed": {"word": word}}, h)
+        return str(jaxpr.jaxpr).count("scan[")
+
+    assert n_scans(256) == 0  # tiny vocab -> naive full-logits path
+    # a vocab big enough that B*S*V*4 > 4.5 GiB must select the scan
+    big_v = (5 << 30) // (B * S * 4)
+    assert n_scans(big_v) >= 1
+
+
 @pytest.mark.parametrize("S,target", [(64, 16), (64, 64), (60, 16)])
 def test_chunked_ce_matches_naive_value_and_grad(S, target):
     B, H, V = 2, 64, 384
