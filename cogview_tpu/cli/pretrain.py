@@ -81,6 +81,18 @@ def build_parser():
                         "batch-size must divide it")
     t.add_argument("--is-sparse", type=int, default=0, choices=[0, 1],
                    help="1 = pivot+window sparse attention for training")
+    # sparse geometry (reference arguments.py:289-298; its shipped scripts
+    # pass 64/4/256 — text2image.sh:39-41 — which also divides the 1088
+    # training tokens of the production presets, unlike the 128 default)
+    t.add_argument("--query-window", type=int, default=0,
+                   help="sparse attention local window (0 = config "
+                        "default 128; training tokens must divide it)")
+    t.add_argument("--key-window-times", type=int, default=0,
+                   help="sparse attention window multiplier (0 = config "
+                        "default 6)")
+    t.add_argument("--num-pivot", type=int, default=0,
+                   help="sparse attention pivot count (0 = config "
+                        "default 768)")
     t.add_argument("--max-memory-length", type=int, default=0,
                    help="transformer-XL-style rolling memory of layer "
                         "hidden states threaded across training batches "
@@ -143,6 +155,12 @@ def get_config(args) -> GPTConfig:
         over["num_heads"] = args.num_attention_heads
     if args.max_position_embeddings:
         over["max_position_embeddings"] = args.max_position_embeddings
+    if getattr(args, "query_window", 0):
+        over["query_window"] = args.query_window
+    if getattr(args, "key_window_times", 0):
+        over["key_window_times"] = args.key_window_times
+    if getattr(args, "num_pivot", 0):
+        over["num_pivot"] = args.num_pivot
     return cfg.replace(**over) if over else cfg
 
 

@@ -573,18 +573,34 @@ def forward(
 
     if cfg.pp_axis is not None:
         # pipeline parallelism: layers shard over cfg.pp_axis, GPipe
-        # microbatch schedule (parallel/pipeline.py)
-        assert sparse is None and cfg.sp_axis is None, (
-            "pp_axis composes with DP/TP/FSDP, not sparse or sp_axis")
+        # microbatch schedule (parallel/pipeline.py).  Sparse pivot+window
+        # attention rides along: the pivot set is per-sample state, so its
+        # [B, ...] arrays enter as mb_aux and each stage slices the chunk
+        # of whichever microbatch it is computing.  sp_axis stays excluded
+        # — ring attention is its own manual collective over a 'seq' axis
+        # and cannot nest inside the 'pipe' shard_map (composition matrix
+        # in PARITY.md).
+        assert cfg.sp_axis is None, (
+            "pp_axis composes with DP/TP/FSDP/sparse, not sp_axis")
         assert cfg.num_layers % cfg.pp_num_stages == 0, (
             cfg.num_layers, cfg.pp_num_stages)
         from ..parallel.pipeline import gpipe_scan
 
-        def layer_fn(a, p, r, mask):
-            rr = r if (train and rng is not None) else None
-            a, _ = _layer_body(cfg, a, p, mask, rr, train,
-                               sep_for_flash=sep_for_flash)
-            return a
+        if sparse is not None:
+            def layer_fn(a, p, r, pivot_idx, pivot_mask, mask):
+                rr = r if (train and rng is not None) else None
+                sp = SparseSpec(pivot_idx, pivot_mask,
+                                sparse.query_window, sparse.key_window_times)
+                a, _ = _layer_body(cfg, a, p, mask, rr, train, sparse=sp)
+                return a
+            mb_aux = (sparse.pivot_idx, sparse.pivot_mask)
+        else:
+            def layer_fn(a, p, r, mask):
+                rr = r if (train and rng is not None) else None
+                a, _ = _layer_body(cfg, a, p, mask, rr, train,
+                                   sep_for_flash=sep_for_flash)
+                return a
+            mb_aux = ()
 
         # raw key data: the pipeline xors a microbatch index into each
         # layer key (seed_from_key accepts raw data; typed key dtypes
@@ -598,7 +614,7 @@ def forward(
             layer_fn, params["layers"], raw_rngs, h, attention_mask,
             pipe_axis=cfg.pp_axis, n_stages=cfg.pp_num_stages,
             n_microbatches=cfg.pp_microbatches or cfg.pp_num_stages,
-            remat=bool(remat))
+            remat=bool(remat), mb_aux=mb_aux)
     else:
         def body(h, xs):
             p, r = xs

@@ -46,17 +46,24 @@ def gpipe_scan(
     n_stages: int,
     n_microbatches: int,
     remat: bool = True,
+    mb_aux: tuple = (),  # per-sample arrays (leading dim B), microbatched
 ) -> jax.Array:
     """Apply the whole layer stack to ``h`` with a GPipe pipeline.
 
-    ``layer_fn(act, p, r, *aux) -> act`` applies ONE layer (params ``p``
-    with the L dim stripped) to a [B/M, S, H] microbatch.  ``aux`` arrays
-    are passed through replicated — traced values must enter as arguments
-    here, not closures (a closure captured across the Auto->Manual mesh
-    boundary fails sharding canonicalization).  Returns [B, S, H],
-    replicated over ``pipe_axis`` (one psum at the end).
+    ``layer_fn(act, p, r, *mb_aux_chunks, *aux) -> act`` applies ONE layer
+    (params ``p`` with the L dim stripped) to a [B/M, S, H] microbatch.
+    ``aux`` arrays are passed through replicated — traced values must
+    enter as arguments here, not closures (a closure captured across the
+    Auto->Manual mesh boundary fails sharding canonicalization).
+    ``mb_aux`` arrays carry a leading batch dim B and are sliced to the
+    [B/M, ...] chunk of whichever microbatch a stage is computing at each
+    tick — this is what lets per-sample attention state (e.g. the sparse
+    pivot set, models/gpt.py) ride the pipeline alongside its rows.
+    Returns [B, S, H], replicated over ``pipe_axis`` (one psum at the end).
     """
     B = h.shape[0]
+    for a in mb_aux:
+        assert a.shape[0] == B, (a.shape, B)
     assert B % n_microbatches == 0, (B, n_microbatches)
     mesh_shape = jax.sharding.get_abstract_mesh().shape
     assert mesh_shape.get(pipe_axis) == n_stages, (
@@ -72,17 +79,25 @@ def gpipe_scan(
     # jax 0.9); compute stays in h.dtype inside
     h_dtype = h.dtype
 
+    n_mb_aux = len(mb_aux)
+
     def body(local_params, local_rngs, hh32, *aux_in):
+        mb_in, rep_in = aux_in[:n_mb_aux], aux_in[n_mb_aux:]
         s = lax.axis_index(pipe_axis)
         hh = hh32.astype(h_dtype)
         x = hh.reshape(M, B // M, *hh.shape[1:])
+        mb_x = tuple(a.reshape(M, B // M, *a.shape[1:]) for a in mb_in)
 
         def stage_apply(act, mb_idx):
+            chunks = tuple(
+                lax.dynamic_index_in_dim(a, mb_idx, 0, keepdims=False)
+                for a in mb_x)
+
             def layer(a, xs):
                 pl, r = xs
                 # decorrelate dropout across microbatches (module docstring)
                 return layer_fn(a, pl, r ^ mb_idx.astype(jnp.uint32),
-                                *aux_in), None
+                                *chunks, *rep_in), None
             act, _ = lax.scan(layer, act, (local_params, local_rngs))
             return act
 
@@ -121,9 +136,10 @@ def gpipe_scan(
     pspecs = jax.tree.map(lambda _: P(pipe_axis), stacked_params)
     out = jax.shard_map(
         body,
-        in_specs=(pspecs, P(pipe_axis), P()) + (P(),) * len(aux),
+        in_specs=(pspecs, P(pipe_axis), P())
+        + (P(),) * (len(mb_aux) + len(aux)),
         out_specs=P(),
         axis_names={pipe_axis},
         check_vma=False,
-    )(stacked_params, layer_rngs, h.astype(jnp.float32), *aux)
+    )(stacked_params, layer_rngs, h.astype(jnp.float32), *mb_aux, *aux)
     return out.astype(h_dtype)

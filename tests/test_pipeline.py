@@ -112,6 +112,57 @@ def test_pp_train_step_dp_pp_tp(tokens):
     assert local[0] == w.shape[0] // 2  # layers split across stages
 
 
+def _sparse_spec(cfg, tokens, num_pivot=32, img_vocab=100):
+    from cogview_tpu.ops.sparse_attention import (
+        build_rmask, gather_pivot_mask, sample_pivots)
+    S = tokens.shape[1]
+    pivot_idx = sample_pivots(
+        jax.random.key(2, impl="rbg"), tokens, num_pivot, img_vocab)
+    rmask = jnp.asarray(
+        build_rmask(S, cfg.query_window, cfg.key_window_times))
+    return gpt.SparseSpec(pivot_idx, gather_pivot_mask(rmask, pivot_idx),
+                          cfg.query_window, cfg.key_window_times)
+
+
+def test_pp_sparse_forward_matches(params, tokens):
+    """Pivot+window sparse attention rides the pipeline: the per-sample
+    pivot arrays enter gpipe_scan as mb_aux and each stage slices the
+    chunk of the microbatch it is computing (the reference's flagship
+    trains sparse — text2image.sh:39-41 — so a pipelined 48L model must
+    not have to give it up)."""
+    cfg = CFG.replace(query_window=16, key_window_times=2)
+    spec = _sparse_spec(cfg, tokens)
+    ref = np.asarray(gpt.forward(params, cfg, tokens, sparse=spec))
+    cfg_pp = cfg.replace(pp_axis="pipe", pp_num_stages=4, pp_microbatches=4)
+    with jax.set_mesh(_mesh((2, "data"), (4, "pipe"))):
+        out = np.asarray(jax.jit(
+            lambda p, t: gpt.forward(p, cfg_pp, t, sparse=spec))(
+                params, tokens))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 2e-5
+
+
+def test_pp_sparse_grads_match(params, tokens):
+    cfg = CFG.replace(query_window=16, key_window_times=2)
+    spec = _sparse_spec(cfg, tokens)
+
+    def loss(p, c):
+        lg = gpt.forward(p, c, tokens, sparse=spec, train=True,
+                         rng=jax.random.PRNGKey(7), remat=True)
+        oh = jax.nn.one_hot(jnp.roll(tokens, -1, 1), 128)
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(lg) * oh, -1))
+
+    cfg_pp = cfg.replace(pp_axis="pipe", pp_num_stages=4, pp_microbatches=2)
+    l_ref, g_ref = jax.value_and_grad(lambda p: loss(p, cfg))(params)
+    with jax.set_mesh(_mesh((2, "data"), (4, "pipe"))):
+        l_pp, g_pp = jax.jit(
+            jax.value_and_grad(lambda p: loss(p, cfg_pp)))(params)
+        l_pp, g_pp = float(l_pp), jax.tree.map(np.asarray, g_pp)
+    assert abs(float(l_ref) - l_pp) < 2e-5
+    errs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), g_ref, g_pp)
+    assert max(jax.tree.leaves(errs)) < 5e-4
+
+
 def test_pp_bf16_compute_grads_finite(params, tokens):
     """Regression guard for the jax-0.9/XLA-CPU check failure ('Invalid
     binary instruction opcode copy') when transposing a replicated bf16
