@@ -347,9 +347,83 @@ def bench_train(cfg, reps, batch):
     }
 
 
+# executable store for the restart probe: persistent across runs so a
+# driver re-run's warm child hits an entry written by an earlier round
+AOT_STORE_DIR = os.path.expanduser("~/.cache/cogview_tpu/aot_bench")
+
+
+def _decode_template(cfg):
+    from cogview_tpu.generation.sampling import compile_template
+
+    fake_text = list(range(IMG_VOCAB + 100, IMG_VOCAB + 130))  # 30 text ids
+    seq = ([CMD["[ROI1]"]] + fake_text + [CMD["[BASE]"], CMD["[BOI1]"]]
+           + [-1] * 1024)
+    return compile_template(seq, _LayoutTokenizer(), padded_vocab=cfg.vocab_size)
+
+
+def _aot_child():
+    """Restart-probe child: a fresh process answering one batch-8 decode
+    query through the AOT executable store (utils/aot.py), reporting how
+    long a *restarted server's first query* takes.  source='compiled' =
+    cold store (trace+lower+compile+save), 'aot' = one pickle read +
+    executable load.  setup_s (param init+quantize) is reported separately
+    — it is weight-load time a real server pays from a checkpoint,
+    orthogonal to program readiness."""
+    from cogview_tpu.generation.sampling import SamplingParams, filling_sequence_aot
+    from cogview_tpu.models import gpt
+    from cogview_tpu.utils.aot import ProgramStore
+
+    cfg, _ = pick_cfg()
+    cfg = cfg.replace(kv_cache_dtype=os.environ.get("COGVIEW_BENCH_KV", "int8"))
+    t0 = time.time()
+    params = gpt.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if os.environ.get("COGVIEW_BENCH_WEIGHTS", "int8") == "int8":
+        params = jax.jit(gpt.quantize_weights, donate_argnums=0)(params)
+    jax.block_until_ready(params)
+    setup_s = time.time() - t0
+    tpl = _decode_template(cfg)
+    store = ProgramStore(AOT_STORE_DIR)
+    t0 = time.time()
+    (tokens, _), info = filling_sequence_aot(
+        params, cfg, tpl, store, batch_size=8,
+        sampling=SamplingParams(temperature=1.0, top_k=200, seed=0))
+    np.asarray(tokens)  # the tunneled runtime's real fence
+    info["first_query_s"] = round(time.time() - t0, 2)
+    info["setup_s"] = round(setup_s, 2)
+    print(json.dumps(info))
+
+
+def _aot_restart_probe(timeout_s=480):
+    """Run the restart-probe child twice: once to populate the store (or
+    hit a prior round's entry) and once to measure the warm restart.  The
+    deliverable VERDICT r3 item 5 asks for: either first_query_s(warm) <<
+    the jit cold start, or measured proof the tunneled runtime's program
+    load dominates even an AOT load."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["COGVIEW_BENCH_AOT_CHILD"] = "1"
+    results = {"store_dir": AOT_STORE_DIR}
+    for label in ("populate", "warm_restart"):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s)
+            line = proc.stdout.strip().splitlines()[-1]
+            results[label] = json.loads(line)
+        except Exception as exc:  # timeout/parse/crash: report, don't fail
+            results[label] = {"error": f"{type(exc).__name__}: {exc}"}
+            break
+    return results
+
+
 def main():
     from cogview_tpu.generation.sampling import SamplingParams, compile_template, filling_sequence
     from cogview_tpu.models import gpt
+
+    if os.environ.get("COGVIEW_BENCH_AOT_CHILD") == "1":
+        _aot_child()
+        return
 
     cfg, preset = pick_cfg()
     mode = os.environ.get("COGVIEW_BENCH_MODE", "decode")
@@ -402,9 +476,7 @@ def main():
         params = jax.jit(gpt.quantize_weights, donate_argnums=0)(params)
 
     # text2image template: '[ROI1] <text> [BASE] [BOI1] [MASK]*1024'
-    fake_text = list(range(IMG_VOCAB + 100, IMG_VOCAB + 130))  # 30 text ids
-    seq = [CMD["[ROI1]"]] + fake_text + [CMD["[BASE]"], CMD["[BOI1]"]] + [-1] * 1024
-    tpl = compile_template(seq, _LayoutTokenizer(), padded_vocab=cfg.vocab_size)
+    tpl = _decode_template(cfg)
     sp = SamplingParams(temperature=1.0, top_k=200, seed=0)
 
     # warmup / compile, phase-separated (generation/sampling.py
@@ -453,6 +525,12 @@ def main():
             }.get(kv),
         },
     }
+    # restart probe (VERDICT r3 item 5): what a RESTARTED process's first
+    # query costs with the AOT executable store — skipped on CPU (the
+    # virtual-mesh smoke path) and by COGVIEW_BENCH_AOT=0
+    if (jax.devices()[0].platform != "cpu"
+            and os.environ.get("COGVIEW_BENCH_AOT", "1") == "1"):
+        result["extra"]["cold_start_warm"] = _aot_restart_probe()
     print(json.dumps(result))
 
 

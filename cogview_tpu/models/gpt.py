@@ -38,9 +38,9 @@ from ..ops.attention import causal_mask, decode_mask, dense_attention, dense_att
 from ..ops.precision import dot_precision
 from ..ops.layernorm import layer_norm
 from ..ops.decode_attention import (
-    decode_attention_quant, decode_attention_quant4, dequantize_kv,
-    dequantize_kv4, gather_layer, gather_scales, pad_cache_len,
-    quantize_kv, quantize_kv4, scatter_columns, scatter_scale_columns)
+    decode_attention_quant, dequantize_kv, dequantize_kv4, gather_kv,
+    gather_kv_scales, pad_cache_len, quantize_kv, quantize_kv4,
+    scatter_kv_columns, scatter_kv_scales)
 from ..ops.flash_attention import flash_attention
 from ..ops.hash_prng import hash_dropout, seed_from_key
 from ..ops.sparse_attention import pivot_window_attention
@@ -219,24 +219,24 @@ class KVCache(NamedTuple):
 class QuantKVCache(NamedTuple):
     """int8 KV cache + per-(head, token) scales (cfg.kv_cache_dtype="int8").
 
-    Layout is **window-blocked**: [L, B, NW, N, D, W] with NW 128-token
-    windows (scales [L, B, NW, N, W]; see ops/decode_attention.py).  The
-    window-major order makes each window one contiguous HBM run, which
-    lets the decode kernel stream only the LIVE windows (ceil((index+1)/
-    128) of NW) at full bandwidth; (D, W) trailing keeps s8 tiles
-    pad-free.  Decode attention AND the per-step cache update run in the
-    fused Pallas kernel: int8 blocks stream straight from HBM — half the
-    bytes of bf16, no XLA dequant materialization, no per-column
-    dynamic_update_slice tile churn."""
+    Layout is **window-blocked and K/V-fused**: data [L, NW, B, 2, N, Dc,
+    W] with NW 128-token windows and K/V stacked on the ``2`` dim (scales
+    [L, NW, B, 2, N, W]; see ops/decode_attention.py).  The window-major
+    order makes each (row-block, window) fetch one contiguous HBM run so
+    the decode kernel streams only the LIVE windows (ceil((index+1)/128)
+    of NW) at full bandwidth; K/V fusion halves the DMA descriptor count
+    (the measured per-step bottleneck at base scale); (Dc, W) trailing
+    keeps s8 tiles pad-free.  Decode attention AND the per-step cache
+    update run in the fused Pallas kernel: int8 blocks stream straight
+    from HBM — half the bytes of bf16, no XLA dequant materialization, no
+    per-column dynamic_update_slice tile churn."""
 
-    k: jax.Array  # [L, B, NW, N, D, W] int8
-    v: jax.Array  # [L, B, NW, N, D, W] int8
-    kscale: jax.Array  # [L, B, NW, N, W] f32
-    vscale: jax.Array  # [L, B, NW, N, W] f32
+    kv: jax.Array  # [L, NW, B, 2, N, Dc, W] int8 (K at 0, V at 1)
+    scale: jax.Array  # [L, NW, B, 2, N, W] f32
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2] * self.k.shape[5]
+        return self.kv.shape[1] * self.kv.shape[6]
 
 
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
@@ -245,11 +245,9 @@ def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
         from ..ops.decode_attention import WRITE_WINDOW as W
         NW = pad_cache_len(max_len) // W
         Dc = D if cfg.kv_cache_dtype == "int8" else D // 2  # int4 packs 2/byte
-        shape = (L, batch, NW, N, Dc, W)
-        sshape = (L, batch, NW, N, W)
         return QuantKVCache(
-            jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
-            jnp.ones(sshape, jnp.float32), jnp.ones(sshape, jnp.float32),
+            jnp.zeros((L, NW, batch, 2, N, Dc, W), jnp.int8),
+            jnp.ones((L, NW, batch, 2, N, W), jnp.float32),
         )
     dtype = dtype or cfg.compute_dtype
     shape = (L, batch, H, max_len)
@@ -335,28 +333,28 @@ def _layer_body(
         v = jnp.concatenate([qkv_m[:, :, 2].reshape(B, M, N, D), v], axis=1)
 
     new_kv = None
-    if kv is not None and len(kv) == 4:
-        # Quantized cache (cfg.kv_cache_dtype="int8"), window-blocked
-        # layout [L,B,NW,N,Dc,W] (QuantKVCache).  Decode (S==1): attention
-        # AND the cache update are one fused Pallas kernel — it quantizes
-        # this token's K/V, writes the 128-token window containing slot
-        # ``index`` back in place (donated buffers), and attends over
-        # past-quantized + current-exact keys, streaming only the LIVE
-        # windows.  The scalar-prefetch layer index selects the layer's
-        # blocks in HBM (no per-layer slice copies off the scan carry).
-        ck, cv, cks, cvs = kv
-        Dc = ck.shape[4]  # D (int8) or D//2 (packed int4)
+    if kv is not None and kv[0].ndim == 7:
+        # Quantized cache (cfg.kv_cache_dtype="int8"/"int4"), fused
+        # window-blocked layout [L,NW,B,2,N,Dc,W] (QuantKVCache).  Decode
+        # (S==1): attention AND the cache update are one fused Pallas
+        # kernel — it quantizes this token's K/V, writes the 128-token
+        # window containing slot ``index`` back in place (donated
+        # buffers), and attends over past-quantized + current-exact keys,
+        # streaming only the LIVE windows.  The scalar-prefetch layer
+        # index selects the layer's blocks in HBM (no per-layer slice
+        # copies off the scan carry).
+        ckv, cs = kv
+        Dc = ckv.shape[5]  # D (int8) or D//2 (packed int4)
         int4 = Dc != D
         if S == 1:
-            decode_fn = decode_attention_quant4 if int4 else decode_attention_quant
-            ctx, ck, cv, cks, cvs = decode_fn(
+            ctx, ckv, cs = decode_attention_quant(
                 q[:, 0], qkv[:, 0, 1].reshape(B, N, D),
                 qkv[:, 0, 2].reshape(B, N, D),
-                ck, cv, cks, cvs, layer_idx, index,
+                ckv, cs, layer_idx, index,
                 data_axis=cfg.decode_shard_axis,
                 model_axis=cfg.decode_head_axis,
             )
-            new_kv = (ck, cv, cks, cvs)
+            new_kv = (ckv, cs)
             ctx = ctx.astype(cdt).reshape(B, 1, H)
         else:
             # prefill: quantize + windowed scatter + dense attention over
@@ -366,11 +364,9 @@ def _layer_body(
             dequant_fn = dequantize_kv4 if int4 else dequantize_kv
             k8, ksc = quant_fn(jnp.swapaxes(qkv[:, :, 1], 1, 2), N)
             v8, vsc = quant_fn(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
-            ck = scatter_columns(ck, k8, layer_idx, index)
-            cv = scatter_columns(cv, v8, layer_idx, index)
-            cks = scatter_scale_columns(cks, ksc, layer_idx, index)
-            cvs = scatter_scale_columns(cvs, vsc, layer_idx, index)
-            new_kv = (ck, cv, cks, cvs)
+            ckv = scatter_kv_columns(ckv, k8, v8, layer_idx, index)
+            cs = scatter_kv_scales(cs, ksc, vsc, layer_idx, index)
+            new_kv = (ckv, cs)
             if full_prefix:
                 # the chunk IS the whole visible prefix (generation
                 # prefill at index 0): attend over the just-quantized
@@ -384,10 +380,10 @@ def _layer_body(
                 ctx = dense_attention_kvT(
                     q, kT, vT, mask[..., :S]).reshape(B, S, H)
             else:
-                kT = dequant_fn(gather_layer(ck, layer_idx),
-                                gather_scales(cks, layer_idx), cdt)  # [B,N,D,Tp]
-                vT = dequant_fn(gather_layer(cv, layer_idx),
-                                gather_scales(cvs, layer_idx), cdt)
+                k8g, v8g = gather_kv(ckv, layer_idx)
+                ksg, vsg = gather_kv_scales(cs, layer_idx)
+                kT = dequant_fn(k8g, ksg, cdt)  # [B, N, D, Tp]
+                vT = dequant_fn(v8g, vsg, cdt)
                 ctx = dense_attention_kvT(q, kT, vT, mask).reshape(B, S, H)
     elif kv is not None:
         # Full [L,B,H,T] caches thread through the layer scan as a carry:

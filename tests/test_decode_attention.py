@@ -16,10 +16,10 @@ import jax.numpy as jnp
 from cogview_tpu.config import tiny_test
 from cogview_tpu.models import gpt
 from cogview_tpu.ops.decode_attention import (
-    blocked_from_columns,
-    columns_from_blocked,
+    columns_from_fused,
     decode_attention_quant,
     dequantize_kv,
+    fused_from_columns,
     pad_cache_len,
     pick_head_block,
     quantize_kv,
@@ -54,12 +54,11 @@ def test_kernel_matches_dense_reference(hb):
     vs = jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1)
     li, idx = 1, 10
 
-    ctx, k8n, v8n, ksn, vsn = decode_attention_quant(
-        q, kc, vc, blocked_from_columns(k8), blocked_from_columns(v8),
-        blocked_from_columns(ks), blocked_from_columns(vs), li, idx,
-        head_block=hb)
-    k8n = columns_from_blocked(k8n); v8n = columns_from_blocked(v8n)
-    ksn = columns_from_blocked(ksn); vsn = columns_from_blocked(vsn)
+    ctx, kvn, sn = decode_attention_quant(
+        q, kc, vc, fused_from_columns(k8, v8), fused_from_columns(ks, vs),
+        li, idx, head_block=hb)
+    k8n, v8n = columns_from_fused(kvn)
+    ksn, vsn = columns_from_fused(sn)
 
     kd = np.asarray(dequantize_kv(k8[li], ks[li]))  # [B,N,D,T]
     vd = np.asarray(dequantize_kv(v8[li], vs[li]))
@@ -89,6 +88,32 @@ def test_kernel_matches_dense_reference(hb):
     np.testing.assert_array_equal(np.asarray(vsn[0]), np.asarray(vs[0]))
 
 
+@pytest.mark.parametrize("B,rb", [(3, 1), (4, 2), (4, 1)])
+def test_kernel_row_block_equivalence(B, rb):
+    """row_block (rows fused per DMA iteration — the r4 perf lever) is
+    layout-only: rb=2 == rb=1 bit-for-bit, and odd batches run at rb=1."""
+    from cogview_tpu.ops.decode_attention import pick_row_block
+    assert pick_row_block(3, 4, 16) == 1  # odd batch falls back
+    L, N, D, T = 2, 4, 16, pad_cache_len(24)
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    kc = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    vc = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    kv8 = fused_from_columns(
+        jnp.asarray(rng.randint(-127, 128, (L, B, N, D, T)).astype(np.int8)),
+        jnp.asarray(rng.randint(-127, 128, (L, B, N, D, T)).astype(np.int8)))
+    kvs = fused_from_columns(
+        jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1),
+        jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1))
+    outs = [
+        decode_attention_quant(q, kc, vc, kv8, kvs, 1, 10,
+                               head_block=4, row_block=r)
+        for r in (rb, 1)
+    ]
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pick_head_block_constraints():
     # must divide num_heads and be a multiple of 8 (or the full head count)
     for n, d, t in [(40, 64, 1152), (16, 64, 1152), (8, 8, 128), (4, 16, 128)]:
@@ -113,7 +138,7 @@ def test_int8_cache_decode_matches_forward():
     cache = gpt.init_cache(cfg, B, S)
     assert isinstance(cache, gpt.QuantKVCache)
     assert cache.max_len == pad_cache_len(S)
-    assert cache.k.shape[2] == pad_cache_len(S) // 128  # window-blocked
+    assert cache.kv.shape[1] == pad_cache_len(S) // 128  # window-blocked
     logits, cache = gpt.forward_with_cache(
         params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0))
     outs = [np.asarray(logits)]

@@ -14,10 +14,10 @@ import jax.numpy as jnp
 from cogview_tpu.config import tiny_test
 from cogview_tpu.models import gpt
 from cogview_tpu.ops.decode_attention import (
-    blocked_from_columns,
-    columns_from_blocked,
+    columns_from_fused,
     decode_attention_quant4,
     dequantize_kv4,
+    fused_from_columns,
     pad_cache_len,
     quantize_kv4,
 )
@@ -66,12 +66,11 @@ def test_kernel4_matches_dense_reference(hb):
     vs = jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1)
     li, idx = 1, 10
 
-    ctx, k4n, v4n, ksn, vsn = decode_attention_quant4(
-        q, kc, vc, blocked_from_columns(k4), blocked_from_columns(v4),
-        blocked_from_columns(ks), blocked_from_columns(vs), li, idx,
-        head_block=hb)
-    k4n = columns_from_blocked(k4n); v4n = columns_from_blocked(v4n)
-    ksn = columns_from_blocked(ksn); vsn = columns_from_blocked(vsn)
+    ctx, kvn, sn = decode_attention_quant4(
+        q, kc, vc, fused_from_columns(k4, v4), fused_from_columns(ks, vs),
+        li, idx, head_block=hb)
+    k4n, v4n = columns_from_fused(kvn)
+    ksn, vsn = columns_from_fused(sn)
 
     kd = np.asarray(dequantize_kv4(k4[li], ks[li]))  # [B,N,D,T]
     vd = np.asarray(dequantize_kv4(v4[li], vs[li]))
@@ -111,7 +110,7 @@ def test_int4_cache_decode_tracks_forward():
     want = np.asarray(gpt.forward(params, cfg, tokens))
 
     cache = gpt.init_cache(cfg, B, S)
-    assert cache.k.shape[4] == cfg.head_dim // 2  # packed
+    assert cache.kv.shape[5] == cfg.head_dim // 2  # packed
     logits, cache = gpt.forward_with_cache(
         params, cfg, tokens[:, :ctx], pos[:, :ctx], cache, jnp.int32(0))
     outs = [np.asarray(logits)]
