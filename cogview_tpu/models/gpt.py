@@ -223,16 +223,21 @@ class QuantKVCache(NamedTuple):
     W] with NW 128-token windows and K/V stacked on the ``2`` dim (scales
     [L, NW, B, 2, N, W]; see ops/decode_attention.py).  The window-major
     order makes each (row-block, window) fetch one contiguous HBM run so
-    the decode kernel streams only the LIVE windows (ceil((index+1)/128)
-    of NW) at full bandwidth; K/V fusion halves the DMA descriptor count
-    (the measured per-step bottleneck at base scale); (Dc, W) trailing
-    keeps s8 tiles pad-free.  Decode attention AND the per-step cache
-    update run in the fused Pallas kernel: int8 blocks stream straight
-    from HBM — half the bytes of bf16, no XLA dequant materialization, no
-    per-column dynamic_update_slice tile churn."""
+    the decode kernel streams only the SEALED windows at full bandwidth;
+    K/V fusion halves the DMA descriptor count (a measured per-step
+    bottleneck at base scale); (Dc, W) trailing keeps s8 tiles pad-free.
+
+    ``recent`` is the exact ring of the last SEAL_GROUP tokens' K/V
+    columns ([L, G, B, 2, N, D] in compute dtype): decode steps append
+    the current column here (a contiguous dynamic_update_slice — no
+    int8-tile churn) and the Pallas kernel attends it exactly, writing a
+    whole quantized group into its cache window only every G-th step.
+    Per-step cache write-back was measured at 5 ms/step at base/B40
+    (ops/decode_attention.py module notes)."""
 
     kv: jax.Array  # [L, NW, B, 2, N, Dc, W] int8 (K at 0, V at 1)
     scale: jax.Array  # [L, NW, B, 2, N, W] f32
+    recent: jax.Array  # [L, G, B, 2, N, D] compute dtype (exact ring)
 
     @property
     def max_len(self) -> int:
@@ -242,12 +247,14 @@ class QuantKVCache(NamedTuple):
 def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
     L, H, N, D = cfg.num_layers, cfg.hidden_size, cfg.num_heads, cfg.head_dim
     if cfg.kv_cache_dtype in ("int8", "int4"):
+        from ..ops.decode_attention import SEAL_GROUP as G
         from ..ops.decode_attention import WRITE_WINDOW as W
         NW = pad_cache_len(max_len) // W
         Dc = D if cfg.kv_cache_dtype == "int8" else D // 2  # int4 packs 2/byte
         return QuantKVCache(
             jnp.zeros((L, NW, batch, 2, N, Dc, W), jnp.int8),
             jnp.ones((L, NW, batch, 2, N, W), jnp.float32),
+            jnp.zeros((L, G, batch, 2, N, D), dtype or cfg.compute_dtype),
         )
     dtype = dtype or cfg.compute_dtype
     shape = (L, batch, H, max_len)
@@ -343,18 +350,27 @@ def _layer_body(
         # streaming only the LIVE windows.  The scalar-prefetch layer
         # index selects the layer's blocks in HBM (no per-layer slice
         # copies off the scan carry).
-        ckv, cs = kv
+        ckv, cs, rec = kv
         Dc = ckv.shape[5]  # D (int8) or D//2 (packed int4)
+        G = rec.shape[1]
         int4 = Dc != D
         if S == 1:
+            # append the current token's exact K/V to the ring (slot
+            # index % G — one contiguous [1,1,B,2,N,D] update), then the
+            # kernel attends sealed-int8 windows + the exact ring and
+            # seals a whole group into the cache every G-th step
+            cols = jnp.stack(
+                [qkv[:, 0, 1].reshape(B, N, D),
+                 qkv[:, 0, 2].reshape(B, N, D)], axis=1).astype(rec.dtype)
+            g = lax.rem(jnp.asarray(index, jnp.int32), G)
+            rec = lax.dynamic_update_slice(
+                rec, cols[None, None], (layer_idx, g, 0, 0, 0, 0))
             ctx, ckv, cs = decode_attention_quant(
-                q[:, 0], qkv[:, 0, 1].reshape(B, N, D),
-                qkv[:, 0, 2].reshape(B, N, D),
-                ckv, cs, layer_idx, index,
+                q[:, 0], rec, ckv, cs, layer_idx, index,
                 data_axis=cfg.decode_shard_axis,
                 model_axis=cfg.decode_head_axis,
             )
-            new_kv = (ckv, cs)
+            new_kv = (ckv, cs, rec)
             ctx = ctx.astype(cdt).reshape(B, 1, H)
         else:
             # prefill: quantize + windowed scatter + dense attention over
@@ -366,7 +382,23 @@ def _layer_body(
             v8, vsc = quant_fn(jnp.swapaxes(qkv[:, :, 2], 1, 2), N)
             ckv = scatter_kv_columns(ckv, k8, v8, layer_idx, index)
             cs = scatter_kv_scales(cs, ksc, vsc, layer_idx, index)
-            new_kv = (ckv, cs)
+            # fill the exact ring with the last min(G, S) columns: G
+            # consecutive positions cover every mod-G slot, so after this
+            # every ring slot g <= p % G holds the exact K/V of the
+            # newest position with that residue — exactly what the decode
+            # kernel attends for positions in [c0, index].  (Slots for
+            # residues older than c0 hold stale data the kernel masks.)
+            gl = min(G, S)
+            tail = jnp.stack(
+                [qkv[:, S - gl:, 1].reshape(B, gl, N, D),
+                 qkv[:, S - gl:, 2].reshape(B, gl, N, D)],
+                axis=2).astype(rec.dtype)  # [B, gl, 2, N, D]
+            pstart = jnp.asarray(index, jnp.int32) + (S - gl)
+            for i in range(gl):
+                rec = lax.dynamic_update_slice(
+                    rec, tail[:, i][None, None],
+                    (layer_idx, lax.rem(pstart + i, G), 0, 0, 0, 0))
+            new_kv = (ckv, cs, rec)
             if full_prefix:
                 # the chunk IS the whole visible prefix (generation
                 # prefill at index 0): attend over the just-quantized

@@ -2,9 +2,9 @@
 
 The hot loop of image generation is a 1024-step autoregressive decode whose
 per-step cost is pure HBM bandwidth: every step must stream the model
-weights plus the whole KV cache.  Three design decisions push this to the
-roofline on TPU (all three were measured as distinct multi-ms/step costs
-at cogview-base scale on v5e before being fused):
+weights plus the whole KV cache.  Four design decisions push this to the
+roofline on TPU (each was measured as a distinct multi-ms/step cost at
+cogview-base scale on v5e before being designed out):
 
 * the cache is stored **int8** with per-(head, token) scales — half the
   bf16 bytes, so a 16-image batch streams the same cache bytes as an
@@ -13,15 +13,23 @@ at cogview-base scale on v5e before being fused):
   upcasting int8 tiles in VMEM.  Left to XLA, the s8->f32 convert of the
   cache is materialized in HBM at batch >= 16 (measured: 269 us per layer
   per tensor — 26 ms/step of pure dequant traffic);
-* the **cache update happens inside the kernel** through
-  ``input_output_aliases``: each grid cell quantizes the current token's
-  K/V column and writes back one 128-token window with that column
-  replaced.  An XLA ``dynamic_update_slice`` of a single s8 column is a
-  read-modify-write of every (sublane x lane) tile the column crosses
-  (measured: 101 us per layer per tensor — 9.7 ms/step at batch 16); the
-  in-kernel windowed write is a small async DMA hidden by the loop
-  pipeline.  As a bonus the current token attends to its *exact* bf16
-  K/V (it is quantized only for later steps).
+* cache updates are **deferred and batched** (the r4 "seal group"): the
+  last ``SEAL_GROUP``-1 tokens' exact K/V live in a small ring buffer
+  (``recent``, [L, G, B, 2, N, D] in compute dtype, ~160MB at base/B40)
+  that the kernel attends EXACTLY via an unrolled epilogue, and the int8
+  window write-back happens only on every G-th step, inserting the whole
+  group at once.  The previous design (write the live window back every
+  step through input_output_aliases) was measured at **5.03 ms/step of
+  pure write-back cost** (B40, 1 live window: 7.51 -> 2.47 ms/step with
+  the write-back deleted) — the RMW select + 2 extra DMAs per row block
+  starved the read stream (638 -> 757 GB/s) and dominated the per-call
+  fixed cost.  Deferring to every 8th step keeps the same average VPU
+  select work but cuts the write DMA traffic and its read-stream
+  contention 8x, and the ring tokens attend in exact bf16 (better than
+  the old current-token-only exactness);
+* as before, the grid streams only the SEALED windows
+  (``ceil(c0 / 128)`` of NW, c0 = index - index % G), so a 1024-token
+  decode reads ~5.5 of 9 windows on average.
 
 Cache layout is **window-blocked and K/V-fused**:
 data ``[L, NW, B, 2, N, Dc, W]`` int8 and scales ``[L, NW, B, 2, N, W]``
@@ -38,12 +46,8 @@ holding K at 0 / V at 1.  Three properties are load-bearing:
   DMA a strided gather of 128-byte rows (~70 GB/s vs ~600 contiguous,
   measured r3);
 * K and V (and both scale tensors) share ONE array, so each iteration
-  issues 2 DMAs instead of 4.  The r4 phase microbench showed the
-  4-DMA/iteration kernel spent ~10 ms/step (cogview-base B40) on
-  per-descriptor issue/wait latency alone — a 5 ms/step *intercept*
-  (105 us per layer-call) plus a ~0.5 us/iteration slope tax — while
-  the streamed bytes account for only ~7 ms.  Halving the descriptor
-  count and doubling the DMA size attacks exactly that term.
+  issues 2 DMAs instead of 4 (the 4-DMA kernel paid a ~5 ms/step
+  issue/wait intercept, measured r4).
 
 Both kernel matmuls are direct batched GEMMs over the fused (row, head)
 lanes with no in-kernel transposes (a VPU mul+reduce contraction was
@@ -54,22 +58,14 @@ feeding the manual DMA slices, i.e. the DMA engine reads layer ``li``'s
 blocks straight from HBM (an XLA dynamic-slice of a scan carry would be
 a whole-layer HBM copy).
 
-Masking matches ops/attention.decode_mask: cached slot kpos is visible iff
-kpos < index, the current token is always visible to itself, and invisible
-logits are -10000 exactly (reference mpu/sparse_transformer.py:662-663 —
-they underflow to probability 0 after the f32 max subtraction).
-
-Per decode step the kernel streams only ``lastw+1 = index // 128 + 1``
-LIVE windows of cache instead of the full padded Tp — over a 1024-token
-decode with a ~65-token prefix that is ~5.5 of 9 windows on average,
-cutting the cache bytes (the dominant term at large batch) by ~1.6x.
-Attention accumulates across a row block's windows flash-style (running
-max / sum / context carried in the loop); the final window step adds the
-current tokens' exact bf16 contribution, normalizes, writes the context,
-and performs the windowed cache write-back — at that step the resident
-block IS the live window containing ``index``, and the write-back
-(column ``index`` replaced with the just-quantized K/V) goes out as 2
-DMAs staged 2-deep so the wait is deferred two row blocks.
+Masking matches ops/attention.decode_mask: sealed slot kpos is visible iff
+kpos < c0; ring slot g is visible iff g <= index % G (ring position
+c0 + g); invisible logits are -10000 exactly (reference
+mpu/sparse_transformer.py:662-663 — they underflow to probability 0 after
+the f32 max subtraction).  Numerics: sealed tokens are int8-rounded
+exactly as before (the seal quantizes the same bf16 columns the old
+per-step path did); the last <= G tokens are EXACT — strictly closer to
+the dense reference than the r3 kernel.
 
 Reference for the math being fused: generation-time ``is_sparse=0``
 attention (mpu/sparse_transformer.py:130-141, standard_attention :652-673);
@@ -88,13 +84,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -10000.0
-WRITE_WINDOW = 128  # token window written back per grid cell (lane-aligned)
+WRITE_WINDOW = 128  # token window written back per seal (lane-aligned)
+SEAL_GROUP = 8  # decode steps per cache write-back; last <=8 tokens ride
+#                 the exact ring buffer (W % SEAL_GROUP == 0 required)
 
 
 def pad_cache_len(max_len: int) -> int:
-    """Cache T is allocated in WRITE_WINDOW multiples so the write-back
-    window never crosses the array edge.  Padded slots are never visible
-    (kpos < index masking)."""
+    """Cache T is allocated in WRITE_WINDOW multiples so the seal window
+    never crosses the array edge.  Padded slots are never visible
+    (kpos < c0 masking)."""
     return -(-max_len // WRITE_WINDOW) * WRITE_WINDOW
 
 
@@ -124,15 +122,16 @@ def pick_row_block(batch: int, head_block: int, head_dim: int) -> int:
     Blocking rows amortizes the per-iteration DMA issue/wait and
     small-tile VPU cost (measured ~1.8us/iter at base scale for rb=1 vs
     ~0.7us of streamed bytes — scripts/decode_phase_microbench.py).  The
-    ceiling is VMEM: fused in-buffers + 2-deep write-back staging + the
-    f32 finalize/compute transients are ~7MB per row at (hb=40, D=64,
-    W=128), so rb=2 (~14MB peak) is the largest safe block.  Odd batches
-    fall back to 1."""
+    ceiling is VMEM: fused in-buffers + 2-deep seal staging + the f32
+    compute transients are ~7MB per row at (hb=40, D=64, W=128), so rb=2
+    (~14MB peak, under the 64MB scoped limit with the ring block) is the
+    sweet spot; rb=4 measured within 1% of rb=2.  Odd batches fall back
+    to 1."""
     per_row = 2 * head_block * head_dim * WRITE_WINDOW  # K+V int8 window
     for rb in (2, 1):
         if batch % rb == 0 and rb * per_row * 9 <= 12 * 1024 * 1024:
             # 9 ~= 2x(in kv int8) + 2x(out kv int8) + 2x(f32 compute
-            # converts) + finalize transients, in int8-window units
+            # converts) + seal transients, in int8-window units
             return rb
     return 1
 
@@ -148,47 +147,60 @@ def _unpack4(bf: jax.Array) -> tuple[jax.Array, jax.Array]:
     return hi, lo
 
 
-def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
+def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
                    o_ref, kvo_hbm, so_hbm,
-                   buf, sbuf, obuf, osbuf,
-                   dsem, ssem, osem, sosem,
-                   *, scale, hb, batch, rb, packed):
+                   buf, sbuf, rbuf, obuf, osbuf,
+                   dsem, ssem, rsem, osem, sosem,
+                   *, scale, hb, batch, rb, packed, G):
     """One head-block grid cell runs ALL batch rows: a single manual
-    double-buffered DMA loop over the flattened (row block, live window)
+    double-buffered DMA loop over the flattened (row block, sealed window)
     sequence, so the pipeline never drains between rows.
 
-    s_ref (SMEM): [layer, index]; q/kc/vc [B,hb,D] VMEM blocks; the cache
-    stays in HBM (memory_space=ANY) and the kernel streams exactly
-    ``lastw+1 = index//W + 1`` fused [rb,2,hb,Dc,W] K+V window blocks
+    s_ref (SMEM): [layer, index]; q [B,hb,D] VMEM block; the cache stays
+    in HBM (memory_space=ANY) and the kernel streams exactly
+    ``swl = max(ceil(c0/W), 1)`` fused [rb,2,hb,Dc,W] K+V window blocks
     (plus [rb,2,hb,W] scale blocks) per ROW BLOCK of ``rb`` batch rows
     through 2-slot VMEM buffers — iteration i+2's copy is issued right
-    after i's compute, crossing row-block boundaries.  2 DMAs per
-    iteration, 2 write-back DMAs per row block (see the module docstring
-    for why descriptor count is THE perf lever at this scale; all
-    alternatives were measured on-chip at cogview-base B40: a
-    grid-pipelined version pays ~5.5us of fixed cost per grid step, a
-    per-(b,h)-cell manual loop a 12.7ms/step DMA prologue intercept, the
-    4-DMA flat loop a 5ms/step issue/wait intercept + ~0.5us/iter tax).
+    after i's compute, crossing row-block boundaries.  The whole ring
+    buffer slice for this layer/head-block ([G,B,2,hb,D]) is fetched once
+    at kernel start and waited at the first epilogue, overlapping the
+    first window's streaming.
+
+    Per row block the epilogue merges the ring tokens (exact, unrolled
+    over G static slots, masked by g <= index % G) into the flash
+    accumulators and writes the context.  On SEAL steps
+    (index % G == G-1) it additionally quantizes the G ring columns and
+    writes window ``c0 // W`` back with lanes [c0 % W, c0 % W + G)
+    replaced — from the resident streamed window, or from zeros when c0
+    lands on a window boundary (the target window then holds no sealed
+    columns yet).  Write-back goes out as 2 DMAs staged 2-deep so the
+    wait is deferred two row blocks; all write waits are predicated on
+    the seal step so non-seal calls leave the cache untouched (the
+    aliased output buffers keep their input bytes).
 
     ``packed`` switches the compute to int4 nibble-packed blocks
     (Dc = D/2, per-element [-7,7], module ``_unpack4`` note); the DMA
-    machinery is identical."""
+    machinery is identical and the ring stays exact."""
     li = s_ref[0]
     index = s_ref[1]
     h = pl.program_id(0)
     W = WRITE_WINDOW
-    lastw = index // W
-    lw1 = lastw + 1
+    rem = lax.rem(index, G)
+    c0 = index - rem  # sealed prefix length
+    is_seal = rem == G - 1
+    twin = c0 // W  # seal target window
+    lane0 = c0 - twin * W
+    swl = lax.max(lax.div(c0 + W - 1, W), 1)  # streamed (sealed) windows
     n_rb = batch // rb
-    total = n_rb * lw1
+    total = n_rb * swl
     hs = h * hb
     D = q_ref.shape[2]
     D2 = D // 2
     RH = rb * hb  # fused (row, head) lane count per iteration
 
     def coords(it):
-        r = it // lw1
-        return r, it - r * lw1
+        r = it // swl
+        return r, it - r * swl
 
     def copy(it, slot):
         r, w = coords(it)
@@ -210,17 +222,20 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
         for c in copy(0, slot):  # src index irrelevant for the wait
             c.wait()
 
+    rcopy = pltpu.make_async_copy(
+        rec_hbm.at[li, :, :, :, pl.ds(hs, hb)], rbuf, rsem)
+
     def out_copies(r, oslot):
         b0 = r * rb
         return (
             pltpu.make_async_copy(
                 obuf.at[oslot],
-                kvo_hbm.at[li, lastw, pl.ds(b0, rb), pl.ds(0, 2),
+                kvo_hbm.at[li, twin, pl.ds(b0, rb), pl.ds(0, 2),
                            pl.ds(hs, hb)],
                 osem.at[oslot]),
             pltpu.make_async_copy(
                 osbuf.at[oslot],
-                so_hbm.at[li, lastw, pl.ds(b0, rb), pl.ds(0, 2),
+                so_hbm.at[li, twin, pl.ds(b0, rb), pl.ds(0, 2),
                           pl.ds(hs, hb)],
                 sosem.at[oslot]),
         )
@@ -229,6 +244,7 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
         for c in out_copies(0, oslot):
             c.wait()
 
+    rcopy.start()
     start(0, 0)
 
     @pl.when(total > 1)
@@ -299,7 +315,7 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
             )[:, 0, :]  # [RH, W]
             s = s * ks
         kpos = w * W + lax.broadcasted_iota(jnp.int32, (RH, W), 1)
-        s = jnp.where(kpos < index, s, MASK_VALUE)
+        s = jnp.where(kpos < c0, s, MASK_VALUE)
         m_new = jnp.maximum(m, jnp.max(s, axis=1))
         alpha = jnp.exp(m - m_new)  # [RH]
         p = jnp.exp(s - m_new[:, None])  # [RH, W]
@@ -330,80 +346,89 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
             )[:, 0, :]  # [RH, D]
         acc = acc * alpha[:, None] + ctx
 
-        @pl.when(w == lastw)
-        def _finalize():
-            # ---- current tokens attend to their exact bf16 columns ----
-            kc = kc_ref[pl.ds(b0, rb)].reshape(RH, D).astype(jnp.float32)
-            vc = vc_ref[pl.ds(b0, rb)].reshape(RH, D).astype(jnp.float32)
-            s_cur = jnp.sum(q * kc, axis=1)  # [RH]
-            m_fin = jnp.maximum(m_new, s_cur)
-            a2 = jnp.exp(m_new - m_fin)
-            p_cur = jnp.exp(s_cur - m_fin)
-            l_fin = l * a2 + p_cur
-            out = acc * a2[:, None] + p_cur[:, None] * vc
-            o_ref[pl.ds(b0, rb)] = (
-                out / l_fin[:, None]).reshape(rb, hb, D).astype(o_ref.dtype)
-
-            # ---- quantize the current columns (for FUTURE steps) ----
-            # kept f32 until the windowed write: Mosaic only supports
-            # minor-dim broadcasts for 32-bit types
-            qmax = 7.0 if packed else 127.0
-            ks_new = jnp.maximum(jnp.max(jnp.abs(kc), axis=1), 1e-8) / qmax
-            vs_new = jnp.maximum(jnp.max(jnp.abs(vc), axis=1), 1e-8) / qmax
-            kq_new = jnp.round(kc / ks_new[:, None])  # [RH, D]
-            vq_new = jnp.round(vc / vs_new[:, None])
-            if packed:
-                def _pack(x):  # [RH, D] clipped nibbles -> [RH, D2] bytes
-                    x = jnp.clip(x, -7.0, 7.0)
-                    hi = lax.slice_in_dim(x, 0, D2, axis=1)
-                    lo = lax.slice_in_dim(x, D2, D, axis=1)
-                    return 16.0 * hi + (lo + 8.0)
-                kq_new = _pack(kq_new)
-                vq_new = _pack(vq_new)
-            Dc = kq_new.shape[1]
-
-            # ---- write-back: window ``lastw`` (resident in this slot)
-            # with the new columns inserted; 2-deep staging defers the
-            # wait until the slot is reused two row blocks later.  The
-            # f32 window converts are chunked per (row, K/V) so the
-            # transients stay ~1.3MB each ----
-            oslot = lax.rem(r, 2)
-
-            @pl.when(r >= 2)
+        @pl.when(w == swl - 1)
+        def _epilogue():
+            # the ring fetch was issued at kernel start; the first
+            # epilogue waits it (overlapped by >= 1 window's streaming)
+            @pl.when(r == 0)
             def _():
-                wait_out(oslot)
+                rcopy.wait()
 
-            col = index - lastw * W
-            onehot = lax.broadcasted_iota(jnp.int32, (hb, W), 1) == col
-            onehot3 = lax.broadcasted_iota(jnp.int32, (hb, Dc, W), 2) == col
-            for j in range(rb):
-                for t, newq, news, qsrc in ((0, kq_new, ks_new, kq8),
-                                            (1, vq_new, vs_new, vq8)):
-                    # insert in the INT8 domain: broadcasting the new
-                    # column to [hb, Dc, W] f32 then casting once is ~3x
-                    # fewer vector passes than the old convert-the-whole-
-                    # window-to-f32 / where / cast-back chain (the
-                    # finalize was the measured 5ms/step intercept at
-                    # base B40; the resident window bytes pass through
-                    # untouched as s8).  Minor-dim broadcasts must stay
-                    # 32-bit (Mosaic), hence broadcast-then-cast.
-                    win8 = lax.index_in_dim(qsrc, j, 0, keepdims=False)
-                    nq = lax.slice_in_dim(newq, j * hb, (j + 1) * hb, axis=0)
-                    nq8 = jnp.broadcast_to(
-                        nq[:, :, None], (hb, Dc, W)).astype(jnp.int8)
-                    obuf[oslot, j, t] = jnp.where(onehot3, nq8, win8)
-                    swin = lax.index_in_dim(
-                        lax.index_in_dim(scb, j, 0, keepdims=False),
-                        t, 0, keepdims=False)  # [hb, W]
-                    ns = lax.slice_in_dim(news, j * hb, (j + 1) * hb, axis=0)
-                    osbuf[oslot, j, t] = jnp.where(onehot, ns[:, None], swin)
-            for c in out_copies(r, oslot):
-                c.start()
+            # ---- exact ring attention: slots g = 0..G-1 are positions
+            # c0 + g, valid while g <= rem (local merge — the streaming
+            # carry stays untouched for the next row block) ----
+            m_e, l_e, acc_e = m_new, l, acc
+            for g in range(G):
+                kg = rbuf[g, pl.ds(b0, rb), 0].astype(
+                    jnp.float32).reshape(RH, D)
+                vg = rbuf[g, pl.ds(b0, rb), 1].astype(
+                    jnp.float32).reshape(RH, D)
+                sg = jnp.sum(q * kg, axis=1)  # [RH]
+                sg = jnp.where(g <= rem, sg, -1e30)
+                m2 = jnp.maximum(m_e, sg)
+                a2 = jnp.exp(m_e - m2)
+                pg = jnp.exp(sg - m2)
+                l_e = l_e * a2 + pg
+                acc_e = acc_e * a2[:, None] + pg[:, None] * vg
+                m_e = m2
+            o_ref[pl.ds(b0, rb)] = (
+                acc_e / l_e[:, None]).reshape(rb, hb, D).astype(o_ref.dtype)
 
-        # issue i+2's prefetch only AFTER _finalize: it reuses this slot,
-        # and finalize still reads the resident window (buf/sbuf[slot]) to
-        # stage the write-back — starting the copy earlier races the
-        # overwrite against those reads
+            # ---- seal: quantize the G ring columns and write window
+            # ``twin`` with lanes [lane0, lane0+G) replaced ----
+            @pl.when(is_seal)
+            def _seal():
+                oslot = lax.rem(r, 2)
+
+                @pl.when(r >= 2)
+                def _():
+                    wait_out(oslot)
+
+                Dc = D2 if packed else D
+                qmax = 7.0 if packed else 127.0
+                lane_i3 = lax.broadcasted_iota(jnp.int32, (hb, Dc, W), 2)
+                lane_i2 = lax.broadcasted_iota(jnp.int32, (hb, W), 1)
+                for j in range(rb):
+                    for t in (0, 1):
+                        # base = the RESIDENT window.  When c0 sits on a
+                        # window boundary the target window was not
+                        # streamed and the resident bytes are the
+                        # PREVIOUS window's — harmless: every non-group
+                        # lane of the target is a position >= c0 + G,
+                        # invisible until a later seal overwrites it.
+                        win8 = lax.index_in_dim(
+                            lax.index_in_dim(kvb, j, 0, keepdims=False),
+                            t, 0, keepdims=False)  # [hb, Dc, W]
+                        swin = lax.index_in_dim(
+                            lax.index_in_dim(scb, j, 0, keepdims=False),
+                            t, 0, keepdims=False)  # [hb, W]
+                        for g in range(G):
+                            col = rbuf[g, pl.ds(b0 + j, 1), t].astype(
+                                jnp.float32).reshape(hb, D)
+                            sc = jnp.maximum(
+                                jnp.max(jnp.abs(col), axis=1), 1e-8) / qmax
+                            qc = jnp.round(col / sc[:, None])  # [hb, D]
+                            if packed:
+                                qc = jnp.clip(qc, -7.0, 7.0)
+                                hi = lax.slice_in_dim(qc, 0, D2, axis=1)
+                                lo = lax.slice_in_dim(qc, D2, D, axis=1)
+                                qc = 16.0 * hi + (lo + 8.0)
+                            # broadcast in f32, cast once (Mosaic minor-dim
+                            # broadcasts must stay 32-bit)
+                            qc8 = jnp.broadcast_to(
+                                qc[:, :, None], (hb, Dc, W)).astype(jnp.int8)
+                            win8 = jnp.where(lane_i3 == lane0 + g, qc8, win8)
+                            swin = jnp.where(lane_i2 == lane0 + g,
+                                             sc[:, None], swin)
+                        obuf[oslot, j, t] = win8
+                        osbuf[oslot, j, t] = swin
+                for c in out_copies(r, oslot):
+                    c.start()
+
+        # issue i+2's prefetch only AFTER the epilogue: it reuses this
+        # slot, and the seal still reads the resident window (buf/sbuf
+        # [slot]) to stage the write-back — starting the copy earlier
+        # races the overwrite against those reads
         @pl.when(it + 2 < total)
         def _():
             start(it + 2, slot)
@@ -415,38 +440,41 @@ def _decode_kernel(s_ref, q_ref, kc_ref, vc_ref, kv_hbm, s_hbm,
     acc0 = jnp.zeros((RH, D), jnp.float32)
     lax.fori_loop(0, total, body, (m0, l0, acc0))
 
-    # drain the last (up to two) staged write-backs
-    if n_rb >= 2:
-        wait_out((n_rb - 2) % 2)
-    wait_out((n_rb - 1) % 2)
+    # drain the last (up to two) staged write-backs — seal steps only
+    # (waiting an unsignaled semaphore would deadlock)
+    @pl.when(is_seal)
+    def _():
+        if n_rb >= 2:
+            wait_out((n_rb - 2) % 2)
+        wait_out((n_rb - 1) % 2)
 
 
-def _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col, kv, s,
+def _shard_over_batch(fn, data_axis, model_axis, q, recent, kv, s,
                       layer_idx, index):
     """Run the quantized-decode kernel per mesh shard: batch dims sharded
-    over ``data_axis`` (cache dim 2, columns dim 0), HEAD dims over
-    ``model_axis`` (cache dim 4, columns dim 1; the window dim 1 stays
-    unsharded), scalars replicated.  Attention is (batch row, head)-local,
-    so the kernel needs no cross-shard collectives either way.  Uses the
-    ambient mesh (jax.set_mesh)."""
+    over ``data_axis`` (cache dim 2, ring dim 2, q dim 0), HEAD dims over
+    ``model_axis`` (cache dim 4, ring dim 4, q dim 1; the window dim 1
+    stays unsharded), scalars replicated.  Attention is (batch row,
+    head)-local, so the kernel needs no cross-shard collectives either
+    way.  Uses the ambient mesh (jax.set_mesh)."""
     P_ = jax.sharding.PartitionSpec
     col = P_(data_axis, model_axis)
     cache = P_(None, None, data_axis, None, model_axis)
+    ring = P_(None, None, data_axis, None, model_axis, None)
     rep = P_()
     return jax.shard_map(
         fn,
-        in_specs=(col, col, col, cache, cache, rep, rep),
+        in_specs=(col, ring, cache, cache, rep, rep),
         out_specs=(col, cache, cache),
         # pallas_call out_shapes carry no varying-mesh-axes metadata; the
         # kernel is per-shard pure so the vma check has nothing to verify
         check_vma=False,
-    )(q, k_col, v_col, kv, s, layer_idx, index)
+    )(q, recent, kv, s, layer_idx, index)
 
 
 def decode_attention_quant(
     q: jax.Array,  # [B, N, D] current token's queries (compute dtype)
-    k_col: jax.Array,  # [B, N, D] current token's key (compute dtype)
-    v_col: jax.Array,  # [B, N, D] current token's value
+    recent: jax.Array,  # [L, G, B, 2, N, D] exact ring (compute dtype)
     kv8: jax.Array,  # [L, NW, B, 2, N, Dc, W] int8 fused cache
     kvscale: jax.Array,  # [L, NW, B, 2, N, W] f32 fused scales
     layer_idx: jax.Array,  # scalar int32
@@ -460,29 +488,36 @@ def decode_attention_quant(
 ):
     """-> (ctx [B, N, D] in q.dtype, kv8', kvscale').
 
-    The cache arrays are donated (input_output_aliases); layer ``layer_idx``
-    gets slot ``index`` updated with the quantized (k_col, v_col).
-    ``Dc == D`` selects the int8 kernel, ``Dc == D/2`` the packed-int4
-    one (same DMA machinery, see module notes).  Falls back to interpret
-    mode on CPU.  ``data_axis``/``model_axis`` run the kernel per shard
-    of an ambient mesh — batch rows over data, heads over model
-    (multi-chip DP/TP decode over the quantized cache; attention is
-    (row, head)-local so no collectives).  ``row_block`` batch rows are
-    processed per DMA-loop iteration (default: the largest of 2/1 that
-    divides B and fits the VMEM budget — see _decode_kernel on why
-    blocking rows and fusing DMAs are the perf levers)."""
+    ``recent`` slot g must hold the exact K/V column of absolute position
+    c0 + g (c0 = index - index % G) for every g <= index % G — including
+    the CURRENT token at g = index % G (the caller writes it before the
+    call; gpt._layer_body does).  The cache arrays are donated
+    (input_output_aliases); on seal steps (index % G == G-1) layer
+    ``layer_idx`` gets window c0 // W updated with the quantized group,
+    on other steps they pass through untouched.  ``Dc == D`` selects the
+    int8 kernel, ``Dc == D/2`` the packed-int4 one (same DMA machinery,
+    see module notes).  Falls back to interpret mode on CPU.
+    ``data_axis``/``model_axis`` run the kernel per shard of an ambient
+    mesh — batch rows over data, heads over model (multi-chip DP/TP
+    decode over the quantized cache; attention is (row, head)-local so no
+    collectives).  ``row_block`` batch rows are processed per DMA-loop
+    iteration (default: the largest of 2/1 that divides B and fits the
+    VMEM budget)."""
     if data_axis is not None or model_axis is not None:
         fn = functools.partial(decode_attention_quant,
                                head_block=head_block, row_block=row_block,
                                interpret=interpret)
-        return _shard_over_batch(fn, data_axis, model_axis, q, k_col, v_col,
+        return _shard_over_batch(fn, data_axis, model_axis, q, recent,
                                  kv8, kvscale, layer_idx, index)
     B, N, D = q.shape
     L, nw, _, _, _, Dc, W = kv8.shape
+    G = recent.shape[1]
     packed = Dc == D // 2 and Dc != D
     assert W == WRITE_WINDOW and kv8.shape == (L, nw, B, 2, N, Dc, W), kv8.shape
     assert packed or Dc == D, (Dc, D)
     assert kvscale.shape == (L, nw, B, 2, N, W), kvscale.shape
+    assert recent.shape == (L, G, B, 2, N, D), recent.shape
+    assert W % G == 0, (W, G)
     scale = 1.0 / math.sqrt(D)
     # int4: budget on the UNPACKED f32 footprint (each packed byte becomes
     # two f32 lanes), so size the head block as if elements were 2*D wide
@@ -500,15 +535,17 @@ def decode_attention_quant(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N // hb,),
-        in_specs=[col_spec, col_spec, col_spec, any_spec, any_spec],
+        in_specs=[col_spec, any_spec, any_spec, any_spec],
         out_specs=[col_spec, any_spec, any_spec],
         scratch_shapes=[
             pltpu.VMEM((2, rb, 2, hb, Dc, W), jnp.int8),   # buf (K+V in)
             pltpu.VMEM((2, rb, 2, hb, W), jnp.float32),    # sbuf (scales in)
+            pltpu.VMEM((G, B, 2, hb, D), recent.dtype),    # rbuf (ring)
             pltpu.VMEM((2, rb, 2, hb, Dc, W), jnp.int8),   # obuf (2-deep out)
             pltpu.VMEM((2, rb, 2, hb, W), jnp.float32),    # osbuf
             pltpu.SemaphoreType.DMA((2,)),                 # dsem
             pltpu.SemaphoreType.DMA((2,)),                 # ssem
+            pltpu.SemaphoreType.DMA,                       # rsem
             pltpu.SemaphoreType.DMA((2,)),                 # osem
             pltpu.SemaphoreType.DMA((2,)),                 # sosem
         ],
@@ -518,17 +555,24 @@ def decode_attention_quant(
         jax.ShapeDtypeStruct(kv8.shape, jnp.int8),
         jax.ShapeDtypeStruct(kvscale.shape, jnp.float32),
     ]
-    # tensor input i (after the scalar-prefetch arg) aliases output slot:
-    # kv8 -> 1, kvscale -> 2
-    aliases = {4: 1, 5: 2}
+    # tensor input i (scalar-prefetch arg = 0) aliases output slot:
+    # kv8 -> 1, kvscale -> 2 (recent is read-only)
+    aliases = {3: 1, 4: 2}
+    kw = {}
+    if not interpret:
+        # the ring block ([G,B,2,hb,D], lane-padded) pushes past the
+        # default 16MB scoped budget at base/B40; v5e has 128MB VMEM
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     ctx, kv8, kvscale = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, hb=hb, batch=B, rb=rb,
-                          packed=packed),
+                          packed=packed, G=G),
         grid_spec=grid_spec,
         out_shape=out_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
-    )(scalars, q, k_col, v_col, kv8, kvscale)
+        **kw,
+    )(scalars, q, recent, kv8, kvscale)
     return ctx, kv8, kvscale
 
 
@@ -573,7 +617,7 @@ def scatter_kv_columns(cache: jax.Array, kcols: jax.Array, vcols: jax.Array,
     """Write K/V columns [B, N, Dc, S] into the fused window-blocked
     cache [L, NW, B, 2, N, Dc, W] at absolute slots [index, index+S) of
     layer ``layer_idx`` — a read-modify-write of only the touched windows
-    (prefill; decode steps write through the kernel instead)."""
+    (prefill; decode steps seal through the kernel instead)."""
     L, NW, B, _, N, Dc, W = cache.shape
     S = kcols.shape[3]
     nt = min(NW, (S - 1) // W + 2)  # max windows a span of S can touch
@@ -652,7 +696,7 @@ def columns_from_fused(blk: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def quantize_kv(cols: jax.Array, num_heads: int) -> tuple[jax.Array, jax.Array]:
     """Per-(head, token) absmax int8 quantization of K or V columns
-    (prefill path; the decode loop quantizes in-kernel).
+    (prefill path; decode seals quantize in-kernel).
 
     cols: [B, H, S] -> (int8 [B, N, D, S], scales f32 [B, N, S]) in
     column form; ``scatter_kv_columns`` folds these into the fused cache.

@@ -46,21 +46,28 @@ def main():
     kc = jax.random.normal(key, (B, N, D), jnp.bfloat16)
     vc = jax.random.normal(key, (B, N, D), jnp.bfloat16)
 
-    def many(q, kc, vc, k8, v8, ks, vs, index):
-        def body(i, carry):
-            k8, v8, ks, vs, acc = carry
-            li = lax.rem(i, L)
-            ctx, k8, v8, ks, vs = fn(q, kc, vc, k8, v8, ks, vs, li, index)
-            return k8, v8, ks, vs, acc + ctx.astype(jnp.float32)
-        init = (k8, v8, ks, vs, jnp.zeros((B, N, D), jnp.float32))
-        return lax.fori_loop(0, args.iters, body, init)[4]
+    def many(q, kc, vc, kv8, kvs, rec, index):
+        from cogview_tpu.ops.decode_attention import SEAL_GROUP as G
 
-    jf = jax.jit(many, donate_argnums=(3, 4, 5, 6))
+        def body(i, carry):
+            kv8, kvs, rec, acc = carry
+            li = lax.rem(i, L)
+            cols = jnp.stack([kc, vc], axis=1).astype(rec.dtype)
+            rec = lax.dynamic_update_slice(
+                rec, cols[None, None],
+                (li, lax.rem(index, G), 0, 0, 0, 0))
+            ctx, kv8, kvs = fn(q, rec, kv8, kvs, li, index)
+            return kv8, kvs, rec, acc + ctx.astype(jnp.float32)
+        init = (kv8, kvs, rec, jnp.zeros((B, N, D), jnp.float32))
+        return lax.fori_loop(0, args.iters, body, init)[3]
+
+    jf = jax.jit(many, donate_argnums=(3, 4, 5))
     W = da.WRITE_WINDOW
     nw = -(-T // W)
     rows = []
     for wlive in [1, 3, 5, 7, 9]:
         idx = jnp.int32(min(wlive * W - W // 2, T - 1))
+        cache = gpt.init_cache(cfg, B, T)
         out = jf(q, kc, vc, *cache, idx)
         np.asarray(out)  # warm
         t0 = time.time()

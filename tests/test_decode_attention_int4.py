@@ -47,14 +47,16 @@ def test_pack_unpack_nibbles_exact():
     np.testing.assert_array_equal(lo2, lo.astype(np.float32))
 
 
-@pytest.mark.parametrize("hb", [2, 4])
-def test_kernel4_matches_dense_reference(hb):
+@pytest.mark.parametrize("hb,idx", [(2, 10), (4, 12)])
+def test_kernel4_matches_dense_reference(hb, idx):
+    from cogview_tpu.ops.decode_attention import SEAL_GROUP as G
+
     L, B, N, D, T = 3, 2, 4, 16, pad_cache_len(24)
     D2 = D // 2
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
-    kc = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
-    vc = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    ring_np = rng.randn(L, G, B, 2, N, D).astype(np.float32)
+    ring = jnp.asarray(ring_np)
     # valid packed bytes: 16*hi + lo + 8 with hi, lo in [-7, 7]
     hi = rng.randint(-7, 8, (L, B, N, D2, T))
     lo = rng.randint(-7, 8, (L, B, N, D2, T))
@@ -64,37 +66,67 @@ def test_kernel4_matches_dense_reference(hb):
     v4 = jnp.asarray((16 * hi2 + lo2 + 8).astype(np.int8))
     ks = jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1)
     vs = jnp.asarray(rng.rand(L, B, N, T).astype(np.float32) * 0.1)
-    li, idx = 1, 10
+    li = 1
+    rem = idx % G
+    c0 = idx - rem
+    assert rem != G - 1  # non-seal: cache must pass through untouched
 
     ctx, kvn, sn = decode_attention_quant4(
-        q, kc, vc, fused_from_columns(k4, v4), fused_from_columns(ks, vs),
+        q, ring, fused_from_columns(k4, v4), fused_from_columns(ks, vs),
         li, idx, head_block=hb)
     k4n, v4n = columns_from_fused(kvn)
-    ksn, vsn = columns_from_fused(sn)
 
     kd = np.asarray(dequantize_kv4(k4[li], ks[li]))  # [B,N,D,T]
     vd = np.asarray(dequantize_kv4(v4[li], vs[li]))
     qs = np.asarray(q) / math.sqrt(D)
     s = np.einsum("bnd,bndt->bnt", qs, kd)
-    s = np.where(np.arange(T)[None, None, :] < idx, s, -10000.0)
-    s_cur = np.einsum("bnd,bnd->bn", qs, np.asarray(kc))[..., None]
-    s_all = np.concatenate([s, s_cur], axis=-1)
+    s = np.where(np.arange(T)[None, None, :] < c0, s, -10000.0)
+    s_r = np.einsum("bnd,gbnd->bng", qs, ring_np[li, : rem + 1, :, 0])
+    s_all = np.concatenate([s, s_r], axis=-1)
     p = np.exp(s_all - s_all.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
-    v_all = np.concatenate([vd, np.asarray(vc)[:, :, :, None]], axis=3)
+    v_all = np.concatenate(
+        [vd, np.moveaxis(ring_np[li, : rem + 1, :, 1], 0, 3)], axis=3)
     want = np.einsum("bnt,bndt->bnd", p, v_all)
     np.testing.assert_allclose(np.asarray(ctx), want, atol=2e-5)
 
-    # write-back: slot idx holds the packed quantized current column
-    kc4, kcs = quantize_kv4(kc.reshape(B, N * D, 1), N)
-    np.testing.assert_array_equal(np.asarray(k4n[li, :, :, :, idx]),
-                                  np.asarray(kc4[:, :, :, 0]))
-    np.testing.assert_allclose(np.asarray(ksn[li, :, :, idx]),
-                               np.asarray(kcs[:, :, 0]), rtol=1e-6)
-    mask = np.ones(T, bool); mask[idx] = False
-    np.testing.assert_array_equal(np.asarray(k4n[li][:, :, :, mask]),
-                                  np.asarray(k4[li][:, :, :, mask]))
-    np.testing.assert_array_equal(np.asarray(v4n[2]), np.asarray(v4[2]))
+    # non-seal: cache bit-untouched
+    np.testing.assert_array_equal(np.asarray(k4n), np.asarray(k4))
+    np.testing.assert_array_equal(np.asarray(v4n), np.asarray(v4))
+
+
+def test_kernel4_seal_writeback():
+    """Seal step: the ring columns land in the cache int4-packed."""
+    from cogview_tpu.ops.decode_attention import SEAL_GROUP as G
+
+    L, B, N, D, T = 2, 2, 4, 16, pad_cache_len(64)
+    idx = 2 * G - 1  # seal of group [G, 2G)
+    c0 = idx - (G - 1)
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    ring_np = rng.randn(L, G, B, 2, N, D).astype(np.float32)
+    k4 = jnp.asarray(np.full((L, B, N, D // 2, T), 8, np.int8))  # zeros packed
+    v4 = jnp.asarray(np.full((L, B, N, D // 2, T), 8, np.int8))
+    ks = jnp.asarray(np.ones((L, B, N, T), np.float32))
+    vs = jnp.asarray(np.ones((L, B, N, T), np.float32))
+    li = 0
+    ctx, kvn, sn = decode_attention_quant4(
+        q, jnp.asarray(ring_np), fused_from_columns(k4, v4),
+        fused_from_columns(ks, vs), li, idx, head_block=4)
+    k4n, v4n = columns_from_fused(kvn)
+    ksn, vsn = columns_from_fused(sn)
+    for g in range(G):
+        kc = ring_np[li, g, :, 0]  # [B, N, D]
+        kc4, kcs = quantize_kv4(jnp.asarray(kc).reshape(B, N * D, 1), N)
+        np.testing.assert_array_equal(
+            np.asarray(k4n[li, :, :, :, c0 + g]), np.asarray(kc4[:, :, :, 0]))
+        np.testing.assert_allclose(
+            np.asarray(ksn[li, :, :, c0 + g]), np.asarray(kcs[:, :, 0]),
+            rtol=1e-6)
+    # sealed slots below c0 and the other layer untouched
+    np.testing.assert_array_equal(np.asarray(v4n[li, :, :, :, :c0]),
+                                  np.asarray(v4[li, :, :, :, :c0]))
+    np.testing.assert_array_equal(np.asarray(k4n[1]), np.asarray(k4[1]))
 
 
 @pytest.mark.slow
