@@ -390,6 +390,7 @@ def _aot_child():
     np.asarray(tokens)  # the tunneled runtime's real fence
     info["first_query_s"] = round(time.time() - t0, 2)
     info["setup_s"] = round(setup_s, 2)
+    info["platform"] = jax.devices()[0].platform
     print(json.dumps(info))
 
 
@@ -398,7 +399,14 @@ def _aot_restart_probe(timeout_s=480):
     hit a prior round's entry) and once to measure the warm restart.  The
     deliverable VERDICT r3 item 5 asks for: either first_query_s(warm) <<
     the jit cold start, or measured proof the tunneled runtime's program
-    load dominates even an AOT load."""
+    load dominates even an AOT load.
+
+    MUST run before the parent initializes its own TPU client (main()
+    calls it before pick_cfg's jax.devices()): two processes attached to
+    the tunneled chip is the exact contention that corrupted an SR bench
+    9.8 -> 33 s/img (measurement-hygiene notes).  Children run serially
+    and each exits before the next attaches.  If the first child lands on
+    CPU (no TPU in this environment) the probe is skipped."""
     import subprocess
 
     env = dict(os.environ)
@@ -411,6 +419,8 @@ def _aot_restart_probe(timeout_s=480):
                 env=env, capture_output=True, text=True, timeout=timeout_s)
             line = proc.stdout.strip().splitlines()[-1]
             results[label] = json.loads(line)
+            if results[label].get("platform") == "cpu":
+                return {"skipped": "cpu backend"}
         except Exception as exc:  # timeout/parse/crash: report, don't fail
             results[label] = {"error": f"{type(exc).__name__}: {exc}"}
             break

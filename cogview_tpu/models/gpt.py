@@ -228,16 +228,28 @@ class QuantKVCache(NamedTuple):
     bottleneck at base scale); (Dc, W) trailing keeps s8 tiles pad-free.
 
     ``recent`` is the exact ring of the last SEAL_GROUP tokens' K/V
-    columns ([L, G, B, 2, N, D] in compute dtype): decode steps append
-    the current column here (a contiguous dynamic_update_slice — no
-    int8-tile churn) and the Pallas kernel attends it exactly, writing a
-    whole quantized group into its cache window only every G-th step.
-    Per-step cache write-back was measured at 5 ms/step at base/B40
-    (ops/decode_attention.py module notes)."""
+    columns ([L, G, B, N, 2*D] f32, K in lanes [0, D) / V in [D, 2*D)):
+    decode steps append the current column here (a contiguous
+    dynamic_update_slice — no int8-tile churn) and the Pallas kernel
+    attends it exactly, writing a whole quantized group into its cache
+    window only every G-th step.  Per-step cache write-back was measured
+    at 5 ms/step at base/B40 (ops/decode_attention.py module notes).
+    The K|V lane fusion makes the ring's minor dim exactly 128 and f32
+    keeps its sliced dims sublane-aligned — the split [.., 2, N, D]
+    layout lane-pads D=64 to 128 (same HBM bytes) and fails Mosaic's
+    slice-alignment check on real TPU (the r4 BENCH regression).
+
+    Sequencing contract: all Q>1 prefill chunks must PRECEDE the first
+    S==1 decode step.  After G-unaligned decode steps, positions
+    [c0, index) exist only in the ring (their cache windows are
+    unsealed); a later Q>1 chunk would attend the dequantized cache over
+    garbage slots and its ring refill can evict the unsealed columns —
+    silent corruption.  No in-repo caller interleaves decode->prefill;
+    forward_with_cache documents the same restriction."""
 
     kv: jax.Array  # [L, NW, B, 2, N, Dc, W] int8 (K at 0, V at 1)
     scale: jax.Array  # [L, NW, B, 2, N, W] f32
-    recent: jax.Array  # [L, G, B, 2, N, D] compute dtype (exact ring)
+    recent: jax.Array  # [L, G, B, N, 2*D] f32 (exact K|V-fused ring)
 
     @property
     def max_len(self) -> int:
@@ -254,7 +266,9 @@ def init_cache(cfg: GPTConfig, batch: int, max_len: int, dtype=None):
         return QuantKVCache(
             jnp.zeros((L, NW, batch, 2, N, Dc, W), jnp.int8),
             jnp.ones((L, NW, batch, 2, N, W), jnp.float32),
-            jnp.zeros((L, G, batch, 2, N, D), dtype or cfg.compute_dtype),
+            # ring is ALWAYS f32 (exact superset of the compute dtype;
+            # tile-alignment rationale in the QuantKVCache docstring)
+            jnp.zeros((L, G, batch, N, 2 * D), jnp.float32),
         )
     dtype = dtype or cfg.compute_dtype
     shape = (L, batch, H, max_len)
@@ -356,15 +370,16 @@ def _layer_body(
         int4 = Dc != D
         if S == 1:
             # append the current token's exact K/V to the ring (slot
-            # index % G — one contiguous [1,1,B,2,N,D] update), then the
-            # kernel attends sealed-int8 windows + the exact ring and
-            # seals a whole group into the cache every G-th step
-            cols = jnp.stack(
+            # index % G — one contiguous [1,1,B,N,2D] update: K|V fused
+            # in the lane dim), then the kernel attends sealed-int8
+            # windows + the exact ring and seals a whole group into the
+            # cache every G-th step
+            cols = jnp.concatenate(
                 [qkv[:, 0, 1].reshape(B, N, D),
-                 qkv[:, 0, 2].reshape(B, N, D)], axis=1).astype(rec.dtype)
+                 qkv[:, 0, 2].reshape(B, N, D)], axis=-1).astype(rec.dtype)
             g = lax.rem(jnp.asarray(index, jnp.int32), G)
             rec = lax.dynamic_update_slice(
-                rec, cols[None, None], (layer_idx, g, 0, 0, 0, 0))
+                rec, cols[None, None], (layer_idx, g, 0, 0, 0))
             ctx, ckv, cs = decode_attention_quant(
                 q[:, 0], rec, ckv, cs, layer_idx, index,
                 data_axis=cfg.decode_shard_axis,
@@ -389,15 +404,15 @@ def _layer_body(
             # kernel attends for positions in [c0, index].  (Slots for
             # residues older than c0 hold stale data the kernel masks.)
             gl = min(G, S)
-            tail = jnp.stack(
+            tail = jnp.concatenate(
                 [qkv[:, S - gl:, 1].reshape(B, gl, N, D),
                  qkv[:, S - gl:, 2].reshape(B, gl, N, D)],
-                axis=2).astype(rec.dtype)  # [B, gl, 2, N, D]
+                axis=-1).astype(rec.dtype)  # [B, gl, N, 2D] K|V lane-fused
             pstart = jnp.asarray(index, jnp.int32) + (S - gl)
             for i in range(gl):
                 rec = lax.dynamic_update_slice(
                     rec, tail[:, i][None, None],
-                    (layer_idx, lax.rem(pstart + i, G), 0, 0, 0, 0))
+                    (layer_idx, lax.rem(pstart + i, G), 0, 0, 0))
             new_kv = (ckv, cs, rec)
             if full_prefix:
                 # the chunk IS the whole visible prefix (generation
@@ -762,6 +777,14 @@ def forward_with_cache(
     (the super-resolution templates restart them at [ROI2],
     pretrain_gpt2.py:228-247).
     Returns fp32 logits [B, Q, V] and the updated cache.
+
+    Quantized caches (QuantKVCache) are sequencing-constrained: every
+    Q>1 prefill chunk must precede the first Q==1 decode step.  Decode
+    defers cache sealing to every SEAL_GROUP-th step, so after a
+    G-unaligned decode the newest positions live ONLY in the exact ring;
+    a subsequent Q>1 chunk would attend unsealed (garbage) cache slots
+    and could evict the ring columns before they seal.  Full-precision
+    KVCache has no such restriction.
     """
     B, Q = tokens.shape
     T = cache.max_len

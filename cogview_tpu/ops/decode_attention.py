@@ -15,7 +15,7 @@ cogview-base scale on v5e before being designed out):
   per tensor — 26 ms/step of pure dequant traffic);
 * cache updates are **deferred and batched** (the r4 "seal group"): the
   last ``SEAL_GROUP``-1 tokens' exact K/V live in a small ring buffer
-  (``recent``, [L, G, B, 2, N, D] in compute dtype, ~160MB at base/B40)
+  (``recent``, [L, G, B, N, 2*D] f32, ~315MB at base/B40)
   that the kernel attends EXACTLY via an unrolled epilogue, and the int8
   window write-back happens only on every G-th step, inserting the whole
   group at once.  The previous design (write the live window back every
@@ -38,7 +38,15 @@ holding K at 0 / V at 1.  Three properties are load-bearing:
 
 * (Dc, W) as the trailing dims keeps the s8 tiles pad-free ((32, 128)
   tiles; a [.., W, D=64] order would pad 64 lanes to 128 and DOUBLE the
-  footprint — measured in r2);
+  footprint — measured in r2).  The RING obeys the same law by fusing
+  K|V into the lane dim: [.., N, 2*D] puts exactly 128 lanes minor and
+  an f32-sublane-aligned N second-minor, so the manual head-slice DMA
+  is tile-aligned (the r4 [.., 2, N, D] layout lane-padded D=64 to 128
+  — same HBM bytes — and Mosaic rejected the 64-wide slice outright:
+  "Slice shape along dimension 5 must be aligned to tiling (128)").
+  f32 (not compute dtype) because bf16's (16, 128) tile does not
+  divide N=40; bf16 values embed exactly in f32, so the ring stays
+  exact and its HBM traffic equals the padded-bf16 layout's;
 * the WINDOW index is a MAJOR dim (ahead of batch), so one loop
   iteration's fetch ``[rb, 2, hb, Dc, W]`` — a ROW BLOCK of rb batch
   rows, K AND V together — is a single contiguous ~1.3MB HBM run at
@@ -223,7 +231,7 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
             c.wait()
 
     rcopy = pltpu.make_async_copy(
-        rec_hbm.at[li, :, :, :, pl.ds(hs, hb)], rbuf, rsem)
+        rec_hbm.at[li, :, :, pl.ds(hs, hb)], rbuf, rsem)
 
     def out_copies(r, oslot):
         b0 = r * rb
@@ -359,10 +367,12 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
             # carry stays untouched for the next row block) ----
             m_e, l_e, acc_e = m_new, l, acc
             for g in range(G):
-                kg = rbuf[g, pl.ds(b0, rb), 0].astype(
-                    jnp.float32).reshape(RH, D)
-                vg = rbuf[g, pl.ds(b0, rb), 1].astype(
-                    jnp.float32).reshape(RH, D)
+                # ring slot [rb, hb, 2D] f32: K in lanes [0, D), V in
+                # [D, 2D) — collapse-leading reshape then lane slices
+                # (same sub-128 value slicing the int4 path uses)
+                kv_g = rbuf[g, pl.ds(b0, rb)].reshape(RH, 2 * D)
+                kg = lax.slice_in_dim(kv_g, 0, D, axis=1)
+                vg = lax.slice_in_dim(kv_g, D, 2 * D, axis=1)
                 sg = jnp.sum(q * kg, axis=1)  # [RH]
                 sg = jnp.where(g <= rem, sg, -1e30)
                 m2 = jnp.maximum(m_e, sg)
@@ -403,8 +413,9 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
                             lax.index_in_dim(scb, j, 0, keepdims=False),
                             t, 0, keepdims=False)  # [hb, W]
                         for g in range(G):
-                            col = rbuf[g, pl.ds(b0 + j, 1), t].astype(
-                                jnp.float32).reshape(hb, D)
+                            col = lax.slice_in_dim(
+                                rbuf[g, pl.ds(b0 + j, 1)].reshape(hb, 2 * D),
+                                t * D, (t + 1) * D, axis=1)  # [hb, D] f32
                             sc = jnp.maximum(
                                 jnp.max(jnp.abs(col), axis=1), 1e-8) / qmax
                             qc = jnp.round(col / sc[:, None])  # [hb, D]
@@ -460,7 +471,7 @@ def _shard_over_batch(fn, data_axis, model_axis, q, recent, kv, s,
     P_ = jax.sharding.PartitionSpec
     col = P_(data_axis, model_axis)
     cache = P_(None, None, data_axis, None, model_axis)
-    ring = P_(None, None, data_axis, None, model_axis, None)
+    ring = P_(None, None, data_axis, model_axis, None)
     rep = P_()
     return jax.shard_map(
         fn,
@@ -474,7 +485,7 @@ def _shard_over_batch(fn, data_axis, model_axis, q, recent, kv, s,
 
 def decode_attention_quant(
     q: jax.Array,  # [B, N, D] current token's queries (compute dtype)
-    recent: jax.Array,  # [L, G, B, 2, N, D] exact ring (compute dtype)
+    recent: jax.Array,  # [L, G, B, N, 2*D] exact K|V-fused ring (f32)
     kv8: jax.Array,  # [L, NW, B, 2, N, Dc, W] int8 fused cache
     kvscale: jax.Array,  # [L, NW, B, 2, N, W] f32 fused scales
     layer_idx: jax.Array,  # scalar int32
@@ -491,7 +502,9 @@ def decode_attention_quant(
     ``recent`` slot g must hold the exact K/V column of absolute position
     c0 + g (c0 = index - index % G) for every g <= index % G — including
     the CURRENT token at g = index % G (the caller writes it before the
-    call; gpt._layer_body does).  The cache arrays are donated
+    call; gpt._layer_body does).  Ring layout is K|V fused in the lane
+    dim ([L, G, B, N, 2*D] f32, K at [0, D)) — see the module notes on
+    tile alignment; :func:`fuse_ring` converts the split test layout.  The cache arrays are donated
     (input_output_aliases); on seal steps (index % G == G-1) layer
     ``layer_idx`` gets window c0 // W updated with the quantized group,
     on other steps they pass through untouched.  ``Dc == D`` selects the
@@ -516,7 +529,8 @@ def decode_attention_quant(
     assert W == WRITE_WINDOW and kv8.shape == (L, nw, B, 2, N, Dc, W), kv8.shape
     assert packed or Dc == D, (Dc, D)
     assert kvscale.shape == (L, nw, B, 2, N, W), kvscale.shape
-    assert recent.shape == (L, G, B, 2, N, D), recent.shape
+    assert recent.shape == (L, G, B, N, 2 * D), recent.shape
+    assert recent.dtype == jnp.float32, recent.dtype
     assert W % G == 0, (W, G)
     scale = 1.0 / math.sqrt(D)
     # int4: budget on the UNPACKED f32 footprint (each packed byte becomes
@@ -540,7 +554,7 @@ def decode_attention_quant(
         scratch_shapes=[
             pltpu.VMEM((2, rb, 2, hb, Dc, W), jnp.int8),   # buf (K+V in)
             pltpu.VMEM((2, rb, 2, hb, W), jnp.float32),    # sbuf (scales in)
-            pltpu.VMEM((G, B, 2, hb, D), recent.dtype),    # rbuf (ring)
+            pltpu.VMEM((G, B, hb, 2 * D), jnp.float32),    # rbuf (ring)
             pltpu.VMEM((2, rb, 2, hb, Dc, W), jnp.int8),   # obuf (2-deep out)
             pltpu.VMEM((2, rb, 2, hb, W), jnp.float32),    # osbuf
             pltpu.SemaphoreType.DMA((2,)),                 # dsem
@@ -680,6 +694,15 @@ def fused_from_columns(kcol: jax.Array, vcol: jax.Array) -> jax.Array:
             0, 5, 1, 2, 3, 4, 6)
     L, B, _, N, T = kv.shape
     return kv.reshape(L, B, 2, N, T // W, W).transpose(0, 4, 1, 2, 3, 5)
+
+
+def fuse_ring(ring_split: jax.Array) -> jax.Array:
+    """Split ring layout [L, G, B, 2, N, D] (K at 0 / V at 1) -> the
+    kernel's K|V lane-fused f32 ring [L, G, B, N, 2*D] (test/tool helper;
+    the model writes fused columns directly)."""
+    r = jnp.asarray(ring_split)
+    return jnp.concatenate(
+        [r[:, :, :, 0], r[:, :, :, 1]], axis=-1).astype(jnp.float32)
 
 
 def columns_from_fused(blk: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -52,10 +52,10 @@ def main():
         def body(i, carry):
             kv8, kvs, rec, acc = carry
             li = lax.rem(i, L)
-            cols = jnp.stack([kc, vc], axis=1).astype(rec.dtype)
+            cols = jnp.concatenate([kc, vc], axis=-1).astype(rec.dtype)
             rec = lax.dynamic_update_slice(
                 rec, cols[None, None],
-                (li, lax.rem(index, G), 0, 0, 0, 0))
+                (li, lax.rem(index, G), 0, 0, 0))
             ctx, kv8, kvs = fn(q, rec, kv8, kvs, li, index)
             return kv8, kvs, rec, acc + ctx.astype(jnp.float32)
         init = (kv8, kvs, rec, jnp.zeros((B, N, D), jnp.float32))

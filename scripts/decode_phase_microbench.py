@@ -89,11 +89,11 @@ def main():
 
     # ---- attn: L-layer scan of the fused kernel, K steps ----
     if "attn" in phases:
-        from functools import partial
         from cogview_tpu.ops.decode_attention import (
-            decode_attention_quant, decode_attention_quant4)
+            SEAL_GROUP, decode_attention_quant, decode_attention_quant4)
         dec = (decode_attention_quant4 if args.kv == "int4"
                else decode_attention_quant)
+        g0 = idx % SEAL_GROUP
 
         @jax.jit
         def attn_loop(q):
@@ -103,16 +103,21 @@ def main():
             cache = gpt.init_cache(cfg, B, T)
 
             def step(t, st):
-                q, kv = st
+                q, (kv8, kvs, rec) = st
 
                 def layer(carry, _):
-                    q, kv, li = carry[0], carry[1:-1], carry[-1]
-                    ctx, *kv = dec(q, q, q, *kv, li, jnp.int32(idx))
-                    return (ctx.astype(q.dtype), *kv, li + 1), None
+                    q, kv8, kvs, rec, li = carry
+                    # write the current column into its ring slot like
+                    # gpt._layer_body does (q stands in for K and V)
+                    cols = jnp.concatenate([q, q], axis=-1).astype(rec.dtype)
+                    rec = lax.dynamic_update_slice(
+                        rec, cols[None, None], (li, jnp.int32(g0), 0, 0, 0))
+                    ctx, kv8, kvs = dec(q, rec, kv8, kvs, li, jnp.int32(idx))
+                    return (ctx.astype(q.dtype), kv8, kvs, rec, li + 1), None
 
-                (q, *kv, _), _ = lax.scan(
-                    layer, (q, *kv, jnp.int32(0)), None, length=L)
-                return q, cache_cls(*kv)
+                (q, kv8, kvs, rec, _), _ = lax.scan(
+                    layer, (q, kv8, kvs, rec, jnp.int32(0)), None, length=L)
+                return q, cache_cls(kv8, kvs, rec)
             q, kv = lax.fori_loop(0, K, step, (q, cache))
             return jnp.sum(q.astype(jnp.float32))
         results["attn"] = timed("attn", attn_loop, q0)

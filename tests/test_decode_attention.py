@@ -25,6 +25,7 @@ from cogview_tpu.ops.decode_attention import (
     columns_from_fused,
     decode_attention_quant,
     dequantize_kv,
+    fuse_ring,
     fused_from_columns,
     pad_cache_len,
     pick_head_block,
@@ -45,12 +46,13 @@ def test_quantize_roundtrip_error():
 
 
 def _make_ring(rng, L, B, N, D, idx):
-    """Exact ring [L, G, B, 2, N, D] with positions [c0, idx] filled;
-    returns (ring, exact_kv[l][g] -> (k, v) numpy for valid g)."""
+    """Exact ring with positions [c0, idx] filled; returns (fused-layout
+    device ring [L, G, B, N, 2D], split numpy ring [L, G, B, 2, N, D]
+    for the reference math, rem)."""
     G = SEAL_GROUP
     rem = idx % G
     ring = rng.randn(L, G, B, 2, N, D).astype(np.float32)
-    return jnp.asarray(ring), ring, rem
+    return fuse_ring(ring), ring, rem
 
 
 def _dense_reference(q, kd, vd, c0, ring_l, rem, D):
@@ -167,7 +169,7 @@ def test_kernel_row_block_equivalence(B, rb):
     L, N, D, T = 2, 4, 16, pad_cache_len(24)
     rng = np.random.RandomState(2)
     q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
-    ring = jnp.asarray(
+    ring = fuse_ring(
         rng.randn(L, SEAL_GROUP, B, 2, N, D).astype(np.float32))
     kv8 = fused_from_columns(
         jnp.asarray(rng.randint(-127, 128, (L, B, N, D, T)).astype(np.int8)),

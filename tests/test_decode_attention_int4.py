@@ -17,6 +17,7 @@ from cogview_tpu.ops.decode_attention import (
     columns_from_fused,
     decode_attention_quant4,
     dequantize_kv4,
+    fuse_ring,
     fused_from_columns,
     pad_cache_len,
     quantize_kv4,
@@ -56,7 +57,7 @@ def test_kernel4_matches_dense_reference(hb, idx):
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
     ring_np = rng.randn(L, G, B, 2, N, D).astype(np.float32)
-    ring = jnp.asarray(ring_np)
+    ring = fuse_ring(ring_np)
     # valid packed bytes: 16*hi + lo + 8 with hi, lo in [-7, 7]
     hi = rng.randint(-7, 8, (L, B, N, D2, T))
     lo = rng.randint(-7, 8, (L, B, N, D2, T))
@@ -111,7 +112,7 @@ def test_kernel4_seal_writeback():
     vs = jnp.asarray(np.ones((L, B, N, T), np.float32))
     li = 0
     ctx, kvn, sn = decode_attention_quant4(
-        q, jnp.asarray(ring_np), fused_from_columns(k4, v4),
+        q, fuse_ring(ring_np), fused_from_columns(k4, v4),
         fused_from_columns(ks, vs), li, idx, head_block=4)
     k4n, v4n = columns_from_fused(kvn)
     ksn, vsn = columns_from_fused(sn)
