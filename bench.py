@@ -435,8 +435,16 @@ def main():
         _aot_child()
         return
 
-    cfg, preset = pick_cfg()
     mode = os.environ.get("COGVIEW_BENCH_MODE", "decode")
+    # restart probe (VERDICT r3 item 5) runs FIRST — before this process's
+    # first jax.devices() call attaches to the tunneled chip — so exactly
+    # one process holds the TPU at any time (see _aot_restart_probe doc).
+    # The child reports its platform; on CPU the probe returns 'skipped'.
+    aot_probe = None
+    if mode == "decode" and os.environ.get("COGVIEW_BENCH_AOT", "1") == "1":
+        aot_probe = _aot_restart_probe()
+
+    cfg, preset = pick_cfg()
     if mode != "decode":
         reps = int(os.environ.get("COGVIEW_BENCH_REPS", "3"))
         # measured-best defaults (v5e): train peaks at batch 16 (40.8k
@@ -535,12 +543,8 @@ def main():
             }.get(kv),
         },
     }
-    # restart probe (VERDICT r3 item 5): what a RESTARTED process's first
-    # query costs with the AOT executable store — skipped on CPU (the
-    # virtual-mesh smoke path) and by COGVIEW_BENCH_AOT=0
-    if (jax.devices()[0].platform != "cpu"
-            and os.environ.get("COGVIEW_BENCH_AOT", "1") == "1"):
-        result["extra"]["cold_start_warm"] = _aot_restart_probe()
+    if aot_probe is not None:
+        result["extra"]["cold_start_warm"] = aot_probe
     print(json.dumps(result))
 
 
