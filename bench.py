@@ -533,13 +533,14 @@ def main():
             "compile_seconds": round(compile_s, 1),
             "cold_start": cold,
             "device": str(jax.devices()[0]),
-            # measured by scripts/kv_quality_check.py (tutorial model,
-            # batch 4, 256 teacher-forced steps, v5e; README "KV cache
-            # quality"): per-step KL(bf16||quant) and sampled-token flip
-            # rate vs the exact bf16 cache under shared gumbel noise
+            # measured by scripts/kv_quality_check.py on the r5
+            # seal-group kernel (tutorial model, batch 4, 256
+            # teacher-forced steps, v5e; README "KV cache quality"):
+            # per-step KL(bf16||quant) and sampled-token flip rate vs the
+            # exact bf16 cache under shared gumbel noise
             "kv_quality": {
-                "int8": {"kl_mean_nats": 2.3e-5, "sampled_flip_rate": 0.0029},
-                "int4": {"kl_mean_nats": 1.2e-3, "sampled_flip_rate": 0.025},
+                "int8": {"kl_mean_nats": 2.3e-5, "sampled_flip_rate": 0.0020},
+                "int4": {"kl_mean_nats": 1.1e-3, "sampled_flip_rate": 0.026},
             }.get(kv),
         },
     }

@@ -72,8 +72,10 @@ c0 + g); invisible logits are -10000 exactly (reference
 mpu/sparse_transformer.py:662-663 — they underflow to probability 0 after
 the f32 max subtraction).  Numerics: sealed tokens are int8-rounded
 exactly as before (the seal quantizes the same bf16 columns the old
-per-step path did); the last <= G tokens are EXACT — strictly closer to
-the dense reference than the r3 kernel.
+per-step path did); the last <= G tokens are EXACT.  Measured against
+the r3 per-step-write kernel (scripts/kv_quality_check.py, r5): a wash —
+KL vs the bf16 cache identical (2.3e-5 nats), sampled-token flips
+better (0.20% vs 0.29%), argmax flips slightly worse (1.17% vs 0.88%).
 
 Reference for the math being fused: generation-time ``is_sparse=0``
 attention (mpu/sparse_transformer.py:130-141, standard_attention :652-673);

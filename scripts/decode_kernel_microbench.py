@@ -19,6 +19,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50,
                     help="kernel calls per timed dispatch (48 = one step)")
     ap.add_argument("--kv", default="int8", choices=["int8", "int4"])
+    ap.add_argument("--ring-write", type=int, default=1, choices=[0, 1],
+                    help="0 = hoist the per-call ring dynamic_update_slice "
+                    "out of the loop (isolates the kernel from the DUS "
+                    "tile-RMW cost)")
     args = ap.parse_args()
 
     from cogview_tpu.utils.compile_cache import enable_persistent_cache
@@ -52,10 +56,11 @@ def main():
         def body(i, carry):
             kv8, kvs, rec, acc = carry
             li = lax.rem(i, L)
-            cols = jnp.concatenate([kc, vc], axis=-1).astype(rec.dtype)
-            rec = lax.dynamic_update_slice(
-                rec, cols[None, None],
-                (li, lax.rem(index, G), 0, 0, 0))
+            if args.ring_write:
+                cols = jnp.concatenate([kc, vc], axis=-1).astype(rec.dtype)
+                rec = lax.dynamic_update_slice(
+                    rec, cols[None, None],
+                    (li, lax.rem(index, G), 0, 0, 0))
             ctx, kv8, kvs = fn(q, rec, kv8, kvs, li, index)
             return kv8, kvs, rec, acc + ctx.astype(jnp.float32)
         init = (kv8, kvs, rec, jnp.zeros((B, N, D), jnp.float32))

@@ -28,15 +28,21 @@ Usage (TPU; CPU works at --preset tiny scale):
       [--steps 256] [--seed 0] [--json]
 
 Measured on the v5e chip (tutorial 12L/1024H/16h, random bf16 init,
-batch 4, 256 teacher-forced steps) — see README "KV cache quality":
+batch 4, 256 teacher-forced steps) with the r5 SEAL-GROUP kernel (ring
+tokens exact, groups of 8 quantized at once) — see README "KV cache
+quality":
 
-  int8: KL mean 2.3e-5 / p99 3.3e-5 nats, argmax flips 0.88%,
-        sampled flips 0.29%, mean |dlogit|@ref-argmax 0.005
-  int4: KL mean 1.2e-3 / p99 2.8e-3 nats, argmax flips 5.7%,
-        sampled flips 2.5%,  mean |dlogit|@ref-argmax 0.044
+  int8: KL mean 2.3e-5 / p99 3.3e-5 nats, argmax flips 1.17%,
+        sampled flips 0.20%, mean |dlogit|@ref-argmax 0.005
+  int4: KL mean 1.1e-3 / p99 2.8e-3 nats, argmax flips 5.96%,
+        sampled flips 2.6%,  mean |dlogit|@ref-argmax 0.045
+
+(r3 per-step-write kernel for comparison: int8 0.88% argmax / 0.29%
+sampled flips — the seal-group numerics are a wash: KL identical,
+sampled flips better, argmax flips slightly worse.)
 
 The defaults follow from the data: int8 serving default (one sampled
-token in ~340 differs), int4 opt-in (one in ~40).
+token in ~500 differs), int4 opt-in (one in ~40).
 """
 
 import argparse
