@@ -365,29 +365,42 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
                 rcopy.wait()
 
             # ---- exact ring attention: slots g = 0..G-1 are positions
-            # c0 + g, valid while g <= rem (local merge — the streaming
-            # carry stays untouched for the next row block) ----
-            m_e, l_e, acc_e = m_new, l, acc
-            for g in range(G):
-                # ring slot [rb, hb, 2D] f32: K in lanes [0, D), V in
-                # [D, 2D) — collapse-leading reshape then lane slices
-                # (same sub-128 value slicing the int4 path uses)
-                kv_g = rbuf[g, pl.ds(b0, rb)].reshape(RH, 2 * D)
-                kg = lax.slice_in_dim(kv_g, 0, D, axis=1)
-                vg = lax.slice_in_dim(kv_g, D, 2 * D, axis=1)
-                sg = jnp.sum(q * kg, axis=1)  # [RH]
-                sg = jnp.where(g <= rem, sg, -1e30)
-                m2 = jnp.maximum(m_e, sg)
-                a2 = jnp.exp(m_e - m2)
-                pg = jnp.exp(sg - m2)
-                l_e = l_e * a2 + pg
-                acc_e = acc_e * a2[:, None] + pg[:, None] * vg
-                m_e = m2
+            # c0 + g, valid while g <= rem, merged into the flash state in
+            # ONE vectorized pass over the G dim (local merge — the
+            # streaming carry stays untouched for the next row block).
+            # The r4 kernel unrolled G serial online-softmax updates here;
+            # the 8-deep exp/mul dependency chain x n_rb row blocks was
+            # ~60% of the kernel's measured 134us per-call fixed cost
+            # (scripts/decode_kernel_microbench.py, r5) ----
+            kv_all = rbuf[:, pl.ds(b0, rb)].reshape(G, RH, 2 * D)
+            kall = lax.slice_in_dim(kv_all, 0, D, axis=2)  # [G, RH, D]
+            vall = lax.slice_in_dim(kv_all, D, 2 * D, axis=2)
+            sg = jnp.sum(q[None, :, :] * kall, axis=2)  # [G, RH]
+            gi = lax.broadcasted_iota(jnp.int32, (G, RH), 0)
+            sg = jnp.where(gi <= rem, sg, -1e30)
+            m2 = jnp.maximum(m_new, jnp.max(sg, axis=0))  # [RH]
+            a2 = jnp.exp(m_new - m2)
+            p = jnp.exp(sg - m2[None, :])  # [G, RH]
+            l_e = l * a2 + jnp.sum(p, axis=0)
+            pv = jnp.sum(p[:, :, None] * vall, axis=0)  # [RH, D]
+            acc_e = acc * a2[:, None] + pv
             o_ref[pl.ds(b0, rb)] = (
                 acc_e / l_e[:, None]).reshape(rb, hb, D).astype(o_ref.dtype)
 
             # ---- seal: quantize the G ring columns and write window
-            # ``twin`` with lanes [lane0, lane0+G) replaced ----
+            # ``twin`` with lanes [lane0, lane0+G) replaced.  All G
+            # columns quantize in one vectorized pass over (G, K|V), then
+            # land in their window lanes via ONE one-hot MXU matmul per
+            # row (contract over G; qc values are integers <= 255, exact
+            # in f32) + one masked select per (row, K/V).  The lhs rides
+            # the ring's native [G, hb, 2D] fused layout collapsed to
+            # [G, hb*2D] — minor stays 128 so the shape cast is legal (a
+            # [G, hb, D]x[G, W] 3-free-dim dot is NOT: Mosaic tries a
+            # 64-lane-minor collapse and aborts; scripts/
+            # seal_scatter_probe.py).  The r4 kernel's G-deep serial
+            # where-chain here cost 34 ms per seal STEP at base/B40
+            # (attn 44.9 vs 10.8 ms/step at idx 575 vs 576, scripts/
+            # decode_phase_microbench.py) = 4.3 ms/step amortized ----
             @pl.when(is_seal)
             def _seal():
                 oslot = lax.rem(r, 2)
@@ -400,7 +413,32 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
                 qmax = 7.0 if packed else 127.0
                 lane_i3 = lax.broadcasted_iota(jnp.int32, (hb, Dc, W), 2)
                 lane_i2 = lax.broadcasted_iota(jnp.int32, (hb, W), 1)
+                grp3 = (lane_i3 >= lane0) & (lane_i3 < lane0 + G)
+                grp2 = (lane_i2 >= lane0) & (lane_i2 < lane0 + G)
+                # onehot[g, l] = 1.0 iff l == lane0 + g  (f32 for the MXU)
+                onehot = (
+                    lax.broadcasted_iota(jnp.int32, (G, W), 1)
+                    == lane0 + lax.broadcasted_iota(jnp.int32, (G, W), 0)
+                ).astype(jnp.float32)
                 for j in range(rb):
+                    kv_j = rbuf[:, pl.ds(b0 + j, 1)].reshape(G, hb, 2 * D)
+                    kcol = lax.slice_in_dim(kv_j, 0, D, axis=2)
+                    vcol = lax.slice_in_dim(kv_j, D, 2 * D, axis=2)
+                    sck = jnp.maximum(
+                        jnp.max(jnp.abs(kcol), axis=2), 1e-8) / qmax
+                    scv = jnp.maximum(
+                        jnp.max(jnp.abs(vcol), axis=2), 1e-8) / qmax
+                    qk = jnp.round(kcol / sck[:, :, None])  # [G, hb, D]
+                    qv = jnp.round(vcol / scv[:, :, None])
+                    if packed:
+                        qk = jnp.clip(qk, -7.0, 7.0)
+                        qv = jnp.clip(qv, -7.0, 7.0)
+                    qkv = jnp.concatenate([qk, qv], axis=2)  # [G, hb, 2D]
+                    qW = lax.dot_general(
+                        qkv.reshape(G, hb * 2 * D), onehot,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(hb, 2 * D, W)
                     for t in (0, 1):
                         # base = the RESIDENT window.  When c0 sits on a
                         # window boundary the target window was not
@@ -414,27 +452,21 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
                         swin = lax.index_in_dim(
                             lax.index_in_dim(scb, j, 0, keepdims=False),
                             t, 0, keepdims=False)  # [hb, W]
-                        for g in range(G):
-                            col = lax.slice_in_dim(
-                                rbuf[g, pl.ds(b0 + j, 1)].reshape(hb, 2 * D),
-                                t * D, (t + 1) * D, axis=1)  # [hb, D] f32
-                            sc = jnp.maximum(
-                                jnp.max(jnp.abs(col), axis=1), 1e-8) / qmax
-                            qc = jnp.round(col / sc[:, None])  # [hb, D]
-                            if packed:
-                                qc = jnp.clip(qc, -7.0, 7.0)
-                                hi = lax.slice_in_dim(qc, 0, D2, axis=1)
-                                lo = lax.slice_in_dim(qc, D2, D, axis=1)
-                                qc = 16.0 * hi + (lo + 8.0)
-                            # broadcast in f32, cast once (Mosaic minor-dim
-                            # broadcasts must stay 32-bit)
-                            qc8 = jnp.broadcast_to(
-                                qc[:, :, None], (hb, Dc, W)).astype(jnp.int8)
-                            win8 = jnp.where(lane_i3 == lane0 + g, qc8, win8)
-                            swin = jnp.where(lane_i2 == lane0 + g,
-                                             sc[:, None], swin)
-                        obuf[oslot, j, t] = win8
-                        osbuf[oslot, j, t] = swin
+                        qt = lax.slice_in_dim(
+                            qW, t * D, (t + 1) * D, axis=1)  # [hb, D, W]
+                        if packed:
+                            # pack AFTER the scatter: non-group lanes
+                            # become the constant 8, masked off by grp3
+                            hi = lax.slice_in_dim(qt, 0, D2, axis=1)
+                            lo = lax.slice_in_dim(qt, D2, D, axis=1)
+                            qt = 16.0 * hi + (lo + 8.0)  # [hb, D2, W]
+                        scW = lax.dot_general(
+                            sck if t == 0 else scv, onehot,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        obuf[oslot, j, t] = jnp.where(
+                            grp3, qt.astype(jnp.int8), win8)
+                        osbuf[oslot, j, t] = jnp.where(grp2, scW, swin)
                 for c in out_copies(r, oslot):
                     c.start()
 
@@ -577,9 +609,17 @@ def decode_attention_quant(
     kw = {}
     if not interpret:
         # the ring block ([G,B,2,hb,D], lane-padded) pushes past the
-        # default 16MB scoped budget at base/B40; v5e has 128MB VMEM
+        # default 16MB scoped budget at base/B40; v5e has 128MB VMEM.
+        # Budget the actual scratch: 4 window buffers (in/out x 2 slots)
+        # + ring + compute transients (measured ~12x the window block at
+        # rb 8/10: Mosaic stack-allocates the f32/bf16 converts and the
+        # unrolled seal temporaries), floor 64MB.
+        win_bytes = rb * 2 * hb * Dc * W
+        scr = 4 * win_bytes + G * B * hb * 2 * D * 4 + 12 * rb * hb * D * W
         kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=max(64 * 1024 * 1024,
+                                 min(scr + 16 * 1024 * 1024,
+                                     120 * 1024 * 1024)))
     ctx, kv8, kvscale = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, hb=hb, batch=B, rb=rb,
                           packed=packed, G=G),

@@ -23,6 +23,8 @@ def main():
                     help="0 = hoist the per-call ring dynamic_update_slice "
                     "out of the loop (isolates the kernel from the DUS "
                     "tile-RMW cost)")
+    ap.add_argument("--row-block", type=int, default=0,
+                    help="override the kernel's row block (0 = default)")
     args = ap.parse_args()
 
     from cogview_tpu.utils.compile_cache import enable_persistent_cache
@@ -41,17 +43,24 @@ def main():
     B = args.batch
     L, N, D = cfg.num_layers, cfg.num_heads, cfg.head_dim
     T = cfg.max_position_embeddings
-    cache = gpt.init_cache(cfg, B, T)
     fn = (da.decode_attention_quant if args.kv == "int8"
           else da.decode_attention_quant4)
+    if args.row_block:
+        import functools
+        fn = functools.partial(fn, row_block=args.row_block)
 
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, N, D), jnp.bfloat16)
     kc = jax.random.normal(key, (B, N, D), jnp.bfloat16)
     vc = jax.random.normal(key, (B, N, D), jnp.bfloat16)
 
-    def many(q, kc, vc, kv8, kvs, rec, index):
+    def many(q, kc, vc, index):
         from cogview_tpu.ops.decode_attention import SEAL_GROUP as G
+
+        # cache created INSIDE the jit (CLAUDE.md landmine: a donated
+        # multi-GB buffer carried through fori_loop double-buffers at the
+        # loop boundary — 23GB request, instant compile OOM at base/B40)
+        kv8, kvs, rec = gpt.init_cache(cfg, B, T)
 
         def body(i, carry):
             kv8, kvs, rec, acc = carry
@@ -64,19 +73,18 @@ def main():
             ctx, kv8, kvs = fn(q, rec, kv8, kvs, li, index)
             return kv8, kvs, rec, acc + ctx.astype(jnp.float32)
         init = (kv8, kvs, rec, jnp.zeros((B, N, D), jnp.float32))
-        return lax.fori_loop(0, args.iters, body, init)[3]
+        return jnp.sum(lax.fori_loop(0, args.iters, body, init)[3])
 
-    jf = jax.jit(many, donate_argnums=(3, 4, 5))
+    jf = jax.jit(many)
     W = da.WRITE_WINDOW
     nw = -(-T // W)
     rows = []
     for wlive in [1, 3, 5, 7, 9]:
         idx = jnp.int32(min(wlive * W - W // 2, T - 1))
-        cache = gpt.init_cache(cfg, B, T)
-        out = jf(q, kc, vc, *cache, idx)
+        out = jf(q, kc, vc, idx)
         np.asarray(out)  # warm
         t0 = time.time()
-        out = jf(q, kc, vc, *cache, idx)
+        out = jf(q, kc, vc, idx)
         np.asarray(out)
         dt = (time.time() - t0) / args.iters * 1e6
         rows.append((wlive, dt))

@@ -191,6 +191,30 @@ def main():
         tok0 = jnp.zeros((B, 1), jnp.int32)
         results["fwd"] = timed("fwd", fwd_loop, params, tok0)
 
+    # ---- fwdvar: fwd with the index ADVANCING each step (dynamic index
+    # + a seal every G-th step), i.e. the real sampler's index pattern
+    # centered on --index.  fwdvar - fwd isolates what a traced,
+    # per-step-varying position costs beyond the fixed-index model step
+    # (seal amortization + any dynamic-slice codegen penalty) ----
+    if "fwdvar" in phases:
+        i0 = idx - K // 2
+
+        @jax.jit
+        def fwdvar_loop(prms, tok0):
+            cache = gpt.init_cache(cfg, B, T)
+
+            def step(t, st):
+                tok, kv = st
+                ix = jnp.int32(i0) + t
+                pos = jnp.full((B, 1), ix, jnp.int32)
+                lg, kv = gpt.forward_with_cache(prms, cfg, tok, pos, kv, ix)
+                nxt = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)[:, None]
+                return nxt, kv
+            tok, kv = lax.fori_loop(0, K, step, (tok0, cache))
+            return jnp.sum(tok)
+        tok0 = jnp.zeros((B, 1), jnp.int32)
+        results["fwdvar"] = timed("fwdvar", fwdvar_loop, params, tok0)
+
     # ---- tail: sampler math on [B, V] logits ----
     if "tail" in phases:
         @jax.jit
