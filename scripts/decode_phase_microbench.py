@@ -234,6 +234,52 @@ def main():
             return lax.fori_loop(0, K, step, jnp.float32(0))
         results["tail"] = timed("tail", tail_loop, base_logits)
 
+    # ---- tailreal: the REAL sampler step's tail, verbatim from
+    # generation/sampling._filling_sequence_jit (mode-table gather +
+    # vocab mask + top-k + hashed gumbel + log_softmax score + token DUS
+    # + mode transition), on a carried [B, S] token array.  tailreal -
+    # tail isolates the template/mode glue the plain tail omits ----
+    if "tailreal" in phases:
+        S = T + 65
+        mask_table = jnp.asarray(
+            rng.rand(3, V) > 0.1)  # [3, V] bool stand-in
+        is_fixed0 = jnp.zeros((S,), jnp.bool_)
+        boi = jnp.asarray([5, -1], jnp.int32)
+        eoi = jnp.asarray([6, -1], jnp.int32)
+
+        @jax.jit
+        def tailreal_loop(lg0, toks0):
+            def step(t, st):
+                toks, mode, scores, acc = st
+                fixed = is_fixed0[t]
+                tpl_tok = toks[:, t]
+                filtered = lg0 / 1.0 + acc * 1e-30
+                allowed = mask_table[mode]
+                filtered = jnp.where(allowed, filtered, -1e4)
+                filtered = apply_top_k(filtered, 200)
+                rows = lax.broadcasted_iota(jnp.uint32, (B, V), 0)
+                cols = lax.broadcasted_iota(jnp.uint32, (B, V), 1)
+                u = hash_uniform(jnp.uint32(7), rows, cols,
+                                 t.astype(jnp.uint32))
+                gumbel = -jnp.log(-jnp.log(u))
+                sampled = jnp.argmax(filtered + gumbel, -1).astype(jnp.int32)
+                lp = jax.nn.log_softmax(filtered, -1)
+                sc = jnp.take_along_axis(lp, sampled[:, None], -1)[:, 0]
+                tok_t = jnp.where(fixed, tpl_tok, sampled).astype(jnp.int32)
+                scores = scores + jnp.where(fixed, 0.0, sc)
+                toks = lax.dynamic_update_slice(toks, tok_t[:, None], (0, t))
+                is_boi = jnp.any(tok_t[:, None] == boi[None, :], axis=-1)
+                is_eoi = jnp.any(tok_t[:, None] == eoi[None, :], axis=-1)
+                mode = jnp.where(is_boi, 1,
+                                 jnp.where(is_eoi, 0, mode)).astype(jnp.int32)
+                return toks, mode, scores, acc + jnp.sum(sc)
+            st = (toks0, jnp.ones((B,), jnp.int32), jnp.zeros((B,)),
+                  jnp.float32(0))
+            return lax.fori_loop(0, K, step, st)[3]
+        toks0 = jnp.zeros((B, S), jnp.int32)
+        results["tailreal"] = timed("tailreal", tailreal_loop,
+                                    base_logits, toks0)
+
     # ---- full: fwd + tail ----
     if "full" in phases:
         from functools import partial
