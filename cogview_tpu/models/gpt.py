@@ -144,17 +144,31 @@ def quantize_weights(params: Params) -> Params:
     return out
 
 
-def _wmul(x, leaf, subscripts, cdt):
+def _wmul(x, leaf, subscripts, cdt, out32=True):
     """einsum against a weight leaf that is either {"w"} (stored dtype) or
     {"w8","s"} (int8 + per-output-channel scale; see quantize_weights).
-    Returns f32 (bias not yet added)."""
+    Returns f32 (bias not yet added) unless ``out32=False``.
+
+    ``out32=False`` (the transformer-layer matmuls in low-precision
+    compute) emits the dot in the operand dtype: the MXU still
+    accumulates f32 internally, so the only forward change is one
+    bf16 rounding of y before the f32 bias add — but the BACKWARD
+    cotangent then stays bf16 through the dW/dx transpose dots instead
+    of being upcast f32 by the output cast's transpose (mixed
+    f32xbf16 MXU passes).  Measured: tutorial grad 369 -> 349 ms/step
+    (scripts/train_phase_microbench.py, r5).  Logits/CE callers keep
+    the f32 output, as does fp16 compute (a f16-rounded dot output can
+    overflow f16's range where the f32 one would not — bf16 shares
+    f32's exponent, so it cannot)."""
     if "w8" in leaf:
         y = jnp.einsum(subscripts, x, leaf["w8"].astype(cdt),
                        preferred_element_type=jnp.float32,
                        precision=dot_precision(x))
         return y * leaf["s"]  # [..., O] f32 row scales broadcast
+    want32 = out32 or x.dtype != jnp.bfloat16
     return jnp.einsum(subscripts, x, leaf["w"].astype(cdt),
-                      preferred_element_type=jnp.float32,
+                      preferred_element_type=(jnp.float32 if want32
+                                              else None),
                       precision=dot_precision(x))
 
 
@@ -330,7 +344,7 @@ def _layer_body(
 
     ln1 = layer_norm(h, p["ln_in"]["g"], p["ln_in"]["b"], eps, cfg.pb_relax)
     qkv = (
-        _wmul(ln1, p["qkv"], "bsh,hcj->bscj", cdt)
+        _wmul(ln1, p["qkv"], "bsh,hcj->bscj", cdt, out32=False)
         + p["qkv"]["b"].astype(jnp.float32)
     ).astype(cdt)
     q = qkv[:, :, 0].reshape(B, S, N, D)
@@ -346,7 +360,7 @@ def _layer_body(
         lnm = layer_norm(mem.astype(cdt), p["ln_in"]["g"], p["ln_in"]["b"],
                          eps, cfg.pb_relax)
         qkv_m = (
-            _wmul(lnm, p["qkv"], "bsh,hcj->bscj", cdt)
+            _wmul(lnm, p["qkv"], "bsh,hcj->bscj", cdt, out32=False)
             + p["qkv"]["b"].astype(jnp.float32)
         ).astype(cdt)
         M = mem.shape[1]
@@ -495,7 +509,7 @@ def _layer_body(
         ).reshape(B, S, H)
 
     attn_out = (
-        _wmul(ctx, p["attn_out"], "bsh,hj->bsj", cdt)
+        _wmul(ctx, p["attn_out"], "bsh,hj->bsj", cdt, out32=False)
         + p["attn_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
     attn_out = _dropout(attn_out, cfg.output_dropout, lseed, train, salt=2)
@@ -505,12 +519,12 @@ def _layer_body(
 
     ln2 = layer_norm(h, p["ln_post"]["g"], p["ln_post"]["b"], eps, cfg.pb_relax)
     inter = (
-        _wmul(ln2, p["mlp_in"], "bsh,hj->bsj", cdt)
+        _wmul(ln2, p["mlp_in"], "bsh,hj->bsj", cdt, out32=False)
         + p["mlp_in"]["b"].astype(jnp.float32)
     ).astype(cdt)
     inter = jax.nn.gelu(inter, approximate=True)
     mlp_out = (
-        _wmul(inter, p["mlp_out"], "bsj,jh->bsh", cdt)
+        _wmul(inter, p["mlp_out"], "bsj,jh->bsh", cdt, out32=False)
         + p["mlp_out"]["b"].astype(jnp.float32)
     ).astype(cdt)
     mlp_out = _dropout(mlp_out, cfg.output_dropout, lseed, train, salt=3)

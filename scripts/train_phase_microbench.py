@@ -39,7 +39,10 @@ def main():
     ap.add_argument("--preset", default="tutorial",
                     choices=["tiny", "tutorial", "base"])
     ap.add_argument("--remat", default="dots", choices=["0", "1", "dots"])
-    ap.add_argument("--phases", default="fwd,grad,full,ce,attn,opt")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="zero all three dropout rates (isolates the "
+                    "counter-hash VPU cost, paid fwd AND in remat replay)")
+    ap.add_argument("--phases", default="fwd,grad,full,ce,attn,opt,situ")
     args = ap.parse_args()
 
     from cogview_tpu.utils.compile_cache import enable_persistent_cache
@@ -59,6 +62,9 @@ def main():
 
     cfg = {"tiny": lambda: tiny_test(compute_dtype=jnp.bfloat16),
            "tutorial": cogview_tutorial, "base": cogview_base}[args.preset]()
+    if args.no_dropout:
+        cfg = cfg.replace(embedding_dropout=0.0, attention_dropout=0.0,
+                          output_dropout=0.0)
     B, K, S = args.batch, args.k, args.seq
     if S != 1089:
         cfg = cfg.replace(max_position_embeddings=S)
@@ -96,12 +102,18 @@ def main():
     phases = set(args.phases.split(","))
     results = {}
 
+    def perturb(b, acc):
+        # data-depend the batch on the carry: without this XLA's
+        # loop-invariant code motion hoists the WHOLE loss/grad out of
+        # the K-loop and the phase reads K-fold too fast (r5: 'grad'
+        # printed 46.8 ms/step while the true cost was ~375)
+        return dict(b, loss_mask=b["loss_mask"] + acc * 1e-30)
+
     if "fwd" in phases:
         @jax.jit
         def fwd_loop(p, b):
             def step(i, acc):
-                loss, _ = loss_fn(p, b, rng0)
-                # feed the loss back so iterations serialize
+                loss, _ = loss_fn(p, perturb(b, acc), rng0)
                 return acc + loss
             return lax.fori_loop(0, K, step, jnp.float32(0))
         results["fwd"] = timed("fwd", fwd_loop, params, batch)
@@ -111,7 +123,7 @@ def main():
         def grad_loop(p, b):
             def step(i, acc):
                 (loss, _), g = jax.value_and_grad(
-                    loss_fn, has_aux=True)(p, b, rng0)
+                    loss_fn, has_aux=True)(p, perturb(b, acc), rng0)
                 # global_norm touches every grad leaf — nothing dead-codes
                 import optax
                 return acc + loss + optax.global_norm(g)
@@ -162,12 +174,35 @@ def main():
         def ce_loop(p, h):
             def step(i, acc):
                 loss, (gp, gh) = jax.value_and_grad(ce_fn, argnums=(0, 1))(
-                    p, h)
+                    p, h + (acc * 1e-30).astype(h.dtype))
                 return (acc + loss
                         + jax.tree.leaves(gp)[0].astype(jnp.float32).sum()
                         * 1e-30 + gh.astype(jnp.float32).sum() * 1e-30)
             return lax.fori_loop(0, K, step, jnp.float32(0))
         results["ce"] = timed("ce", ce_loop, params, h0)
+
+    if "embed" in phases:
+        # token-embedding gather fwd + its transpose (scatter-add into the
+        # [V, H] table) in bwd — XLA:TPU lowers the transpose of a big
+        # gather to a serialized scatter, a classic hidden train cost
+        tokens0 = batch["text"][:, :-1]
+
+        def embed_fn(w, cot):
+            h = jnp.take(w, tokens0, axis=0).astype(cfg.compute_dtype)
+            return jnp.sum(h.astype(jnp.float32) * cot)
+
+        cot0 = jnp.asarray(rng.randn(B, toks, H).astype(np.float32))
+
+        @jax.jit
+        def embed_loop(w, cot):
+            def step(i, acc):
+                loss, gw = jax.value_and_grad(embed_fn)(
+                    w, cot + acc * 1e-30)
+                return acc + loss * 1e-30 + jnp.sum(
+                    gw.astype(jnp.float32)) * 1e-30
+            return lax.fori_loop(0, K, step, jnp.float32(0))
+        results["embed"] = timed("embed", embed_loop,
+                                 params["embed"]["word"], cot0)
 
     if "attn" in phases:
         from cogview_tpu.models.gpt import should_use_flash
@@ -184,7 +219,8 @@ def main():
             def attn_loop(q, k, v):
                 def step(i, acc):
                     loss, (gq, gk, gv) = jax.value_and_grad(
-                        attn_fn, argnums=(0, 1, 2))(q, k, v)
+                        attn_fn, argnums=(0, 1, 2))(
+                            q + (acc * 1e-30).astype(q.dtype), k, v)
                     return (acc + loss * 1e-30
                             + gq.astype(jnp.float32).sum() * 1e-30)
                 # x12 layers worth of attention per "step"
@@ -194,6 +230,14 @@ def main():
             results["attn"] = ms
         else:
             print("attn   (flash not eligible at this seq — skipped)")
+
+    def _checksum(*trees):
+        # touch EVERY leaf: returning one leaf lets XLA dead-code every
+        # other leaf's update (r5: 'opt' printed 1.2 ms/step that way —
+        # one leaf's worth; the honest number is ~8x more)
+        return sum(jnp.sum(x.astype(jnp.float32)) * 1e-30
+                   for t in trees for x in jax.tree.leaves(t)
+                   if jnp.issubdtype(x.dtype, jnp.floating))
 
     if "opt" in phases:
         import optax
@@ -207,9 +251,36 @@ def main():
                 p, opt = carry
                 upd, opt = tx.update(g, opt, p)
                 return optax.apply_updates(p, upd), opt
-            p, _ = lax.fori_loop(0, K, step, (p, opt0))
-            return jax.tree.leaves(p)[0].astype(jnp.float32).sum()
+            p, opt = lax.fori_loop(0, K, step, (p, opt0))
+            return _checksum(p, opt)
         results["opt"] = timed("opt", opt_loop, params, grads0)
+
+    if "situ" in phases:
+        # the real step's _apply composition (global_norm + finite +
+        # tx.update + apply_updates + the two NaN-skip selects) on
+        # carry-perturbed grads: 'situ' ~ 'full' - 'grad' without the
+        # grad computation in the program
+        import optax
+        grads0 = jax.tree.map(lambda x: (x * 1e-3).astype(x.dtype), params)
+
+        @jax.jit
+        def situ_loop(p, g0):
+            opt0 = tx.init(p)
+
+            def step(i, carry):
+                p, opt = carry
+                g = jax.tree.map(
+                    lambda x: x + jnp.float32(i).astype(x.dtype) * 1e-30, g0)
+                gnorm = optax.global_norm(g)
+                finite = jnp.isfinite(gnorm)
+                upd, new_opt = tx.update(g, opt, p)
+                new_p = optax.apply_updates(p, upd)
+                sel = lambda n, o: jax.tree.map(
+                    lambda a, c: jnp.where(finite, a, c), n, o)
+                return sel(new_p, p), sel(new_opt, opt)
+            p, opt = lax.fori_loop(0, K, step, (p, opt0))
+            return _checksum(p, opt)
+        results["situ"] = timed("situ", situ_loop, params, grads0)
 
     if {"fwd", "grad"} <= results.keys():
         print(f"bwd = grad - fwd            = "
