@@ -560,7 +560,15 @@ def _maybe_checkpoint(body, remat):
     remat=True recomputes everything; remat="dots" keeps the batch-dim-free
     matmul outputs (qkv/attn_out/mlp projections) and recomputes only cheap
     elementwise work — more memory, fewer MXU-pass replays (pick per
-    config; bench COGVIEW_BENCH_REMAT)."""
+    config; bench COGVIEW_BENCH_REMAT).
+
+    FORWARD-ONLY callers must pass remat=False: a policy checkpoint in a
+    non-differentiated trace measured 19x SLOWER than the bare forward on
+    v5e (2120 vs 109.5 ms/step, tutorial b16 — scripts/
+    train_phase_microbench.py --phases fwd --remat dots|0, r5), while
+    plain remat=True is free there.  Under jax.grad the policy costs
+    nothing extra (grad 369 ms/step contains the same forward).  The
+    eval path (cli/pretrain.py eval step) already passes remat=False."""
     if not remat:
         return body
     if remat == "dots":
