@@ -411,6 +411,23 @@ def _aot_child():
     print(json.dumps(info))
 
 
+def _subprocess_backend(timeout_s=120):
+    """The default JAX backend, learned WITHOUT attaching this process to
+    the (possibly tunneled) chip.  Falls back to 'unknown' (treated as
+    non-CPU) if the child fails."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if proc.returncode == 0:
+            return proc.stdout.strip().splitlines()[-1]
+    except Exception:
+        pass
+    return "unknown"
+
+
 def _tpu_health_gate(max_wait_s=600):
     """Poll the chip with a tiny-matmul SUBPROCESS until it answers (or
     the budget runs out).  Run after any child that may have been killed
@@ -468,8 +485,11 @@ def _aot_restart_probe(timeout_s=900):
             results[label] = {"error": f"{type(exc).__name__}: {exc}"}
             break
     # a timed-out child was SIGKILLed mid-execution — wedging the worker;
-    # gate on recovery before the parent attaches and measures
-    results["health_gate_s"] = _tpu_health_gate()
+    # gate on recovery before the parent attaches and measures.  Children
+    # that exited cleanly leave the worker healthy, so the gate (a full
+    # tunneled attach, ~60-80s cold) runs only on the error path.
+    if any(isinstance(v, dict) and "error" in v for v in results.values()):
+        results["health_gate_s"] = _tpu_health_gate()
     return results
 
 
@@ -485,10 +505,15 @@ def main():
     # restart probe (VERDICT r3 item 5) runs FIRST — before this process's
     # first jax.devices() call attaches to the tunneled chip — so exactly
     # one process holds the TPU at any time (see _aot_restart_probe doc).
-    # The child reports its platform; on CPU the probe returns 'skipped'.
+    # The backend check must likewise stay out of this process: a tiny
+    # subprocess answers it (~seconds), so a CPU-only box skips the probe
+    # instead of grinding a batch-8 interpret-mode decode to its timeout.
     aot_probe = None
     if mode == "decode" and os.environ.get("COGVIEW_BENCH_AOT", "1") == "1":
-        aot_probe = _aot_restart_probe()
+        if _subprocess_backend() == "cpu":
+            aot_probe = {"skipped": "cpu backend"}
+        else:
+            aot_probe = _aot_restart_probe()
 
     cfg, preset = pick_cfg()
     if mode != "decode":

@@ -827,6 +827,18 @@ def forward_with_cache(
         except (jax.errors.ConcretizationTypeError,
                 jax.errors.TracerIntegerConversionError):
             full_prefix = False
+            if quant:
+                # Every legitimate Q>1 prefill is host-driven with a
+                # CONCRETE chunk-start index; a TRACED index here is the
+                # signature of chunking mid-generation (e.g. from inside
+                # the decode loop), which silently attends unsealed cache
+                # slots — fail loudly at trace time instead.
+                raise ValueError(
+                    "forward_with_cache: Q>1 chunk with a traced index on "
+                    "a quantized cache — prefill chunks must be "
+                    "host-driven (concrete index) and precede all decode "
+                    "steps (see the sequencing contract in this "
+                    "function's docstring)")
     else:
         full_prefix = False
 

@@ -25,8 +25,9 @@ cogview-base scale on v5e before being designed out):
   starved the read stream (638 -> 757 GB/s) and dominated the per-call
   fixed cost.  Deferring to every 8th step keeps the same average VPU
   select work but cuts the write DMA traffic and its read-stream
-  contention 8x, and the ring tokens attend in exact bf16 (better than
-  the old current-token-only exactness);
+  contention 8x, and the ring tokens attend EXACTLY (bf16 columns
+  embedded losslessly in the f32 ring — better than the old
+  current-token-only exactness);
 * as before, the grid streams only the SEALED windows
   (``ceil(c0 / 128)`` of NW, c0 = index - index % G), so a 1024-token
   decode reads ~5.5 of 9 windows on average.
@@ -172,7 +173,7 @@ def _decode_kernel(s_ref, q_ref, rec_hbm, kv_hbm, s_hbm,
     (plus [rb,2,hb,W] scale blocks) per ROW BLOCK of ``rb`` batch rows
     through 2-slot VMEM buffers — iteration i+2's copy is issued right
     after i's compute, crossing row-block boundaries.  The whole ring
-    buffer slice for this layer/head-block ([G,B,2,hb,D]) is fetched once
+    buffer slice for this layer/head-block ([G,B,hb,2D] K|V lane-fused) is fetched once
     at kernel start and waited at the first epilogue, overlapping the
     first window's streaming.
 
@@ -498,8 +499,9 @@ def _shard_over_batch(fn, data_axis, model_axis, q, recent, kv, s,
                       layer_idx, index):
     """Run the quantized-decode kernel per mesh shard: batch dims sharded
     over ``data_axis`` (cache dim 2, ring dim 2, q dim 0), HEAD dims over
-    ``model_axis`` (cache dim 4, ring dim 4, q dim 1; the window dim 1
-    stays unsharded), scalars replicated.  Attention is (batch row,
+    ``model_axis`` (cache dim 4, ring dim 3 — the fused [L,G,B,N,2D]
+    layout's N, q dim 1; the window dim 1 stays unsharded), scalars
+    replicated.  Attention is (batch row,
     head)-local, so the kernel needs no cross-shard collectives either
     way.  Uses the ambient mesh (jax.set_mesh)."""
     P_ = jax.sharding.PartitionSpec
@@ -608,7 +610,7 @@ def decode_attention_quant(
     aliases = {3: 1, 4: 2}
     kw = {}
     if not interpret:
-        # the ring block ([G,B,2,hb,D], lane-padded) pushes past the
+        # the ring block ([G,B,hb,2D] f32, lanes exactly 128) pushes past the
         # default 16MB scoped budget at base/B40; v5e has 128MB VMEM.
         # Budget the actual scratch: 4 window buffers (in/out x 2 slots)
         # + ring + compute transients (measured ~12x the window block at
