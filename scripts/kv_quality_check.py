@@ -100,10 +100,15 @@ def main():
         stream greedily over the image vocabulary."""
         cfg = cfg0.replace(kv_cache_dtype=kv_dtype)
         cache = gpt.init_cache(cfg, B, total)
+        # Prefill closes over the LITERAL index 0: quantized caches reject
+        # a traced index on Q>1 chunks (sequencing contract,
+        # gpt.forward_with_cache docstring).
+        prefill = jax.jit(lambda p, t, q, c: gpt.forward_with_cache(
+            p, cfg, t, q, c, 0))
         step = jax.jit(lambda p, t, q, c, i: gpt.forward_with_cache(
             p, cfg, t, q, c, i))
-        lg, cache = step(params, jnp.asarray(prefix),
-                         jnp.asarray(pos[:, :S0]), cache, jnp.int32(0))
+        lg, cache = prefill(params, jnp.asarray(prefix),
+                            jnp.asarray(pos[:, :S0]), cache)
         logits = []
         toks = []
         cur = np.asarray(lg[:, -1]).astype(np.float32)
